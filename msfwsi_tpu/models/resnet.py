@@ -1,0 +1,288 @@
+"""Multi-scale ResNet encoders in Flax (NHWC, TPU-native).
+
+Capability parity with the reference's vendored torchvision ResNet
+(``src/models/resnet.py``), whose one modification is ``return_features``:
+pooled features from all 4 stages ``(x1_n, x2_n, x3_n, x4_n)`` instead of the
+classifier head (``resnet.py:244-256``). This rebuild additionally exposes the
+5-level feature pyramid needed by the HookNet U-Net decoders (the reference
+gets that from ``segmentation_models_pytorch``'s resnet encoder).
+
+TPU-first choices:
+  * NHWC layout — XLA:TPU's native conv layout; keeps MXU tiling clean.
+  * ``dtype`` (compute) vs fp32 ``param_dtype``; BatchNorm statistics always
+    accumulate in fp32 (flax promotes half-precision stats).
+  * Stage dims derived from the block expansion, fixing the reference's
+    hardcoded ``[64,128,256,512]`` (``src/models/backbone.py:67``) so
+    Bottleneck archs (resnet50+) work.
+  * Optional ``nn.remat`` activation checkpointing per stage (the TPU
+    equivalent of ``--use-ac``'s per-conv checkpoint wrapping).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "ResNet",
+    "get_encoder",
+    "ARCH_SPECS",
+    "feature_dims",
+    "kaiming_normal_conv_init",
+]
+
+ModuleDef = Any
+
+# torch nn.init.kaiming_normal_(mode="fan_out", nonlinearity="relu"):
+# normal with std = sqrt(2 / fan_out).
+kaiming_normal_conv_init = nn.initializers.variance_scaling(
+    2.0, "fan_out", "normal"
+)
+
+
+def torch_linear_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default weight init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    Flax kernels are (fan_in, fan_out); torch's kaiming_uniform(a=sqrt(5))
+    reduces to exactly this bound.
+    """
+    import jax
+
+    fan_in = shape[0]
+    bound = 1.0 / (fan_in**0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + identity shortcut (expansion 1)."""
+
+    expansion = 1
+
+    planes: int
+    strides: int = 1
+    use_projection: bool = False
+    zero_init_residual: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dtype: Any = jnp.float32
+    norm: ModuleDef = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        conv = functools.partial(
+            nn.Conv,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kaiming_normal_conv_init,
+        )
+        bn = functools.partial(self.norm, use_running_average=not train)
+
+        identity = x
+        out = conv(self.planes, (3, 3), strides=self.strides, padding=1, name="conv1")(x)
+        out = bn(name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, (3, 3), padding=1, name="conv2")(out)
+        out = bn(
+            name="bn2",
+            scale_init=nn.initializers.zeros_init()
+            if self.zero_init_residual
+            else nn.initializers.ones_init(),
+        )(out)
+        if self.use_projection:
+            identity = conv(self.planes, (1, 1), strides=self.strides, name="downsample_conv")(x)
+            identity = bn(name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck (expansion 4); stride on the 3x3 conv."""
+
+    expansion = 4
+
+    planes: int
+    strides: int = 1
+    use_projection: bool = False
+    zero_init_residual: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dtype: Any = jnp.float32
+    norm: ModuleDef = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        conv = functools.partial(
+            nn.Conv,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kaiming_normal_conv_init,
+        )
+        bn = functools.partial(self.norm, use_running_average=not train)
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+
+        identity = x
+        out = conv(width, (1, 1), name="conv1")(x)
+        out = bn(name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(
+            width,
+            (3, 3),
+            strides=self.strides,
+            padding=1,
+            feature_group_count=self.groups,
+            name="conv2",
+        )(out)
+        out = bn(name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.planes * self.expansion, (1, 1), name="conv3")(out)
+        out = bn(
+            name="bn3",
+            scale_init=nn.initializers.zeros_init()
+            if self.zero_init_residual
+            else nn.initializers.ones_init(),
+        )(out)
+        if self.use_projection:
+            identity = conv(
+                self.planes * self.expansion, (1, 1), strides=self.strides, name="downsample_conv"
+            )(x)
+            identity = bn(name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """NHWC ResNet with multi-scale outputs.
+
+    ``__call__(x, train=..., features=...)`` where ``features`` selects:
+      * ``"pooled"``  -> 4-tuple of stage-wise global-average-pooled (B, C_i)
+        features — the reference's ``return_features=True`` path with
+        ``fc = Identity`` (``resnet.py:244-256``, ``backbone.py:64-65``).
+      * ``"pyramid"`` -> 5-tuple of NHWC maps [stem/2, layer1/4, layer2/8,
+        layer3/16, layer4/32] — the smp-style U-Net encoder contract
+        (HookNet consumes these; ``src/models/hooknet.py:16-21``).
+      * ``"logits"``  -> (B, num_classes) classifier output.
+    """
+
+    stage_sizes: Sequence[int]
+    block_cls: ModuleDef = BasicBlock
+    num_classes: int = 1000
+    groups: int = 1
+    width_per_group: int = 64
+    zero_init_residual: bool = False
+    dtype: Any = jnp.float32
+    bn_momentum: float = 0.9  # == torch momentum 0.1
+    bn_epsilon: float = 1e-5
+    remat: bool = False  # activation checkpointing per residual block
+
+    @property
+    def feature_dims(self) -> tuple[int, int, int, int]:
+        e = self.block_cls.expansion
+        return (64 * e, 128 * e, 256 * e, 512 * e)
+
+    @property
+    def pyramid_dims(self) -> tuple[int, int, int, int, int]:
+        e = self.block_cls.expansion
+        return (64, 64 * e, 128 * e, 256 * e, 512 * e)
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, features: str = "pooled"):
+        norm = functools.partial(
+            nn.BatchNorm,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_epsilon,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            axis_name=None,  # GSPMD: global batch stats come from sharded jnp.mean
+        )
+        block_cls = nn.remat(self.block_cls, static_argnums=()) if self.remat else self.block_cls
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=2,
+            padding=3,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kaiming_normal_conv_init,
+            name="conv1",
+        )(x)
+        x = norm(use_running_average=not train, name="bn1")(x)
+        stem = nn.relu(x)  # /2, 64ch — pyramid level 0
+
+        x = nn.max_pool(stem, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        stage_outs = []
+        for i, num_blocks in enumerate(self.stage_sizes):
+            planes = 64 * 2**i
+            for j in range(num_blocks):
+                strides = 2 if i > 0 and j == 0 else 1
+                needs_proj = j == 0 and (
+                    strides != 1 or x.shape[-1] != planes * self.block_cls.expansion
+                )
+                x = block_cls(
+                    planes=planes,
+                    strides=strides,
+                    use_projection=needs_proj,
+                    zero_init_residual=self.zero_init_residual,
+                    groups=self.groups,
+                    base_width=self.width_per_group,
+                    dtype=self.dtype,
+                    norm=norm,
+                    name=f"layer{i + 1}_{j}",
+                )(x, train=train)
+            stage_outs.append(x)
+
+        if features == "pyramid":
+            return (stem, *stage_outs)
+
+        pooled = tuple(jnp.mean(s, axis=(1, 2)) for s in stage_outs)
+        if features == "pooled":
+            return pooled
+
+        if features == "logits":
+            return nn.Dense(
+                self.num_classes,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=torch_linear_init,
+                bias_init=torch_linear_init,
+                name="fc",
+            )(pooled[-1])
+
+        raise ValueError(f"unknown features mode: {features!r}")
+
+
+# arch -> (block, stage_sizes, extra kwargs); mirrors the reference factory
+# surface (``src/models/resnet.py:278-388``).
+ARCH_SPECS: dict[str, tuple[ModuleDef, tuple[int, ...], dict]] = {
+    "resnet18": (BasicBlock, (2, 2, 2, 2), {}),
+    "resnet34": (BasicBlock, (3, 4, 6, 3), {}),
+    "resnet50": (Bottleneck, (3, 4, 6, 3), {}),
+    "resnet101": (Bottleneck, (3, 4, 23, 3), {}),
+    "resnet152": (Bottleneck, (3, 8, 36, 3), {}),
+    "resnext50_32x4d": (Bottleneck, (3, 4, 6, 3), {"groups": 32, "width_per_group": 4}),
+    "resnext101_32x8d": (Bottleneck, (3, 4, 23, 3), {"groups": 32, "width_per_group": 8}),
+    "wide_resnet50_2": (Bottleneck, (3, 4, 6, 3), {"width_per_group": 128}),
+    "wide_resnet101_2": (Bottleneck, (3, 4, 23, 3), {"width_per_group": 128}),
+}
+
+
+def feature_dims(arch: str) -> tuple[int, int, int, int]:
+    """Per-stage pooled feature dims for ``arch`` (expansion-aware — fixes
+    the reference's BasicBlock-only hardcode at ``backbone.py:67``)."""
+    block_cls, _, _ = ARCH_SPECS[arch]
+    e = block_cls.expansion
+    return (64 * e, 128 * e, 256 * e, 512 * e)
+
+
+def get_encoder(arch: str, **kwargs) -> ResNet:
+    """Factory mirroring ``resnet.__dict__[arch]`` lookup (``ssl_train.py:146``)."""
+    if arch not in ARCH_SPECS:
+        raise ValueError(f"unknown arch {arch!r}; choose from {sorted(ARCH_SPECS)}")
+    block_cls, stage_sizes, extra = ARCH_SPECS[arch]
+    return ResNet(stage_sizes=stage_sizes, block_cls=block_cls, **{**extra, **kwargs})
