@@ -1,0 +1,147 @@
+"""Jit-compiled view construction: raw uint8 tiles -> SSL / seg batches.
+
+This is the device-side replacement for the reference's per-sample CPU
+``__getitem__`` pipelines:
+
+  * :func:`make_ssl_views` == ``BcssPretrainDataset.__getitem__``
+    (``src/utils/data/bcss.py:164-182``) + the three albumentations pipelines
+    built in ``tools/ssl_train.py:175-217`` — two context views (RRC 224 +
+    color aug), two target views (full-res color aug -> 4x4 blockshape ->
+    per-sample jigsaw shuffle -> per-tile RRC 224), plus inverse
+    permutations.
+  * :func:`make_seg_train_views` == ``BcssSegDatasetMS.__getitem__``
+    (``bcss.py:39-60``) + ``ssl_finetune.py:198-223``: ColorJitter+HFlip on
+    the 1024 context, CenterCrop(256) target, both resized/normalized to 256
+    (masks nearest / label-preserving).
+  * :func:`make_seg_val_views` == ``ssl_finetune.py:226-253`` /
+    ``evaluate.py:151-178``: Resize(256)+Normalize context and
+    CenterCrop(256)+Normalize target.
+
+Everything is batched and static-shape; one jit covers aug + model step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import augment as A
+from ..ops.geometry import batched_blockshaped
+
+__all__ = [
+    "AugConfig",
+    "make_ssl_views",
+    "make_seg_train_views",
+    "make_seg_val_views",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class AugConfig:
+    mean: Sequence[float] = (0.485, 0.456, 0.406)
+    std: Sequence[float] = (0.229, 0.224, 0.225)
+    img_size: int = 224  # SSL view size (--img-sz)
+    grid: int = 4  # sqrt(K): 4x4 target tiles  (hardcoded 16 in reference)
+    tile_px: int = 256  # sub-tile size pre-RRC (hardcoded in reference)
+    seg_size: int = 256  # finetune/eval output size
+    rrc_scale: tuple[float, float] = (0.5, 1.0)
+
+
+def _to_float(img):
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / 255.0
+    return img.astype(jnp.float32)
+
+
+def _context_view(key, x, cfg: AugConfig):
+    """context_aug pipeline (``ssl_train.py:175-194``): RRC -> ColorJitter ->
+    ToGray -> OneOf(blur/sharpen) -> HFlip -> Normalize."""
+    k = jax.random.split(key, 5)
+    v = A.random_resized_crop(k[0], x, cfg.img_size, scale=cfg.rrc_scale)
+    v = A.color_jitter(k[1], v)
+    v = A.to_gray(k[2], v)
+    v = A.blur_or_sharpen(k[3], v)
+    v = A.hflip(k[4], v)
+    return A.normalize(v, cfg.mean, cfg.std)
+
+
+def _target_view(key, x, cfg: AugConfig):
+    """target_aug (color-only, full res) + blockshape + jigsaw shuffle +
+    per-tile misc_aug (``ssl_train.py:196-217``, ``bcss.py:171-178``).
+
+    Returns (tiles (B*K, s, s, 3) normalized, reverse_idx (B, K))."""
+    B = x.shape[0]
+    K = cfg.grid**2
+    k = jax.random.split(key, 6)
+    t = A.color_jitter(k[0], x)
+    t = A.to_gray(k[1], t)
+    t = A.blur_or_sharpen(k[2], t)
+
+    tiles = batched_blockshaped(t, cfg.tile_px, cfg.tile_px)  # (B, K, s, s, 3)
+    perm = jax.vmap(lambda kk: jax.random.permutation(kk, K))(jax.random.split(k[3], B))
+    shuffled = jnp.take_along_axis(tiles, perm[:, :, None, None, None], axis=1)
+    flat = shuffled.reshape(B * K, cfg.tile_px, cfg.tile_px, 3)
+
+    v = A.random_resized_crop(k[4], flat, cfg.img_size, scale=cfg.rrc_scale)
+    v = A.hflip(k[5], v)
+    v = A.normalize(v, cfg.mean, cfg.std)
+    return v, jnp.argsort(perm, axis=1)
+
+
+def make_ssl_views(key, tiles_u8, cfg: AugConfig = AugConfig()):
+    """Full SSL batch from raw uint8 tiles (B, 1024, 1024, 3).
+
+    Returns the train-step batch dict: two context views (B, s, s, 3), two
+    flattened target view stacks (B*K, s, s, 3), two (B, K) inverse jigsaw
+    permutations.
+    """
+    x = _to_float(tiles_u8)
+    kc1, kc2, kt1, kt2 = jax.random.split(key, 4)
+    ctx1 = _context_view(kc1, x, cfg)
+    ctx2 = _context_view(kc2, x, cfg)
+    tgt1, rev1 = _target_view(kt1, x, cfg)
+    tgt2, rev2 = _target_view(kt2, x, cfg)
+    return {
+        "context1": ctx1,
+        "context2": ctx2,
+        "target1": tgt1,
+        "target2": tgt2,
+        "rev1": rev1,
+        "rev2": rev2,
+    }
+
+
+def make_seg_train_views(key, imgs_u8, masks, cfg: AugConfig = AugConfig()):
+    """Finetune train batch: ((context, target) images, (context, target)
+    masks), all (B, 256, 256, ...)."""
+    x = _to_float(imgs_u8)
+    k_cj, k_flip = jax.random.split(key)
+    x = A.color_jitter(k_cj, x)
+    B = x.shape[0]
+    flip = jax.random.uniform(k_flip, (B, 1, 1, 1)) < 0.5
+    x = jnp.where(flip, x[:, :, ::-1, :], x)
+    masks = jnp.where(flip[:, :, :, 0], masks[:, :, ::-1], masks)
+
+    tgt = A.center_crop(x, cfg.seg_size)
+    tgt_mask = A.center_crop(masks[..., None], cfg.seg_size)[..., 0]
+
+    ctx = A.resize_bilinear(x, cfg.seg_size)
+    ctx_mask = A.resize_nearest(masks[..., None], cfg.seg_size)[..., 0]
+
+    ctx = A.normalize(ctx, cfg.mean, cfg.std)
+    tgt = A.normalize(tgt, cfg.mean, cfg.std)
+    return (ctx, tgt), (ctx_mask.astype(jnp.int32), tgt_mask.astype(jnp.int32))
+
+
+def make_seg_val_views(imgs_u8, masks, cfg: AugConfig = AugConfig()):
+    """Eval batch: deterministic Resize(256) context + CenterCrop(256) target
+    (``evaluate.py:151-178``)."""
+    x = _to_float(imgs_u8)
+    ctx = A.normalize(A.resize_bilinear(x, cfg.seg_size), cfg.mean, cfg.std)
+    ctx_mask = A.resize_nearest(masks[..., None], cfg.seg_size)[..., 0]
+    tgt = A.normalize(A.center_crop(x, cfg.seg_size), cfg.mean, cfg.std)
+    tgt_mask = A.center_crop(masks[..., None], cfg.seg_size)[..., 0]
+    return (ctx, tgt), (ctx_mask.astype(jnp.int32), tgt_mask.astype(jnp.int32))

@@ -1,0 +1,408 @@
+"""On-device, batched, jit-compiled image augmentation.
+
+The reference runs ~36 albumentations ``Compose`` invocations per sample on
+CPU dataloader workers (2 context + 2 target pipelines + 2x16 per-tile RRCs,
+``tools/ssl_train.py:175-217``, ``src/utils/data/bcss.py:164-182``) — its
+main throughput bottleneck (SURVEY §3.1). Here the entire pipeline runs on
+TPU inside one jit: uint8 tile batches stream to HBM and every view is
+produced with vectorized, static-shape ops:
+
+  * RandomResizedCrop: the torchvision/albumentations 10-attempt area/ratio
+    sampling, fully vectorized (all 10 candidates sampled at once, first
+    valid selected, center-crop fallback) + separable 2-tap gather-based
+    bilinear resampling (VPU-friendly; no dynamic shapes).
+  * ColorJitter (brightness/contrast/saturation/hue in per-sample random
+    order), ToGray, GaussianBlur (per-sample sigma, 23-tap separable conv,
+    REFLECT_101 padding) / Sharpen OneOf, HFlip, Normalize.
+
+Convention: images are float32 in [0, 1], NHWC. ``normalize`` emits
+(x - mean)/std matching albu ``Normalize(max_pixel_value=255)`` on uint8
+inputs scaled by 1/255. All randomness from explicit ``jax.random`` keys —
+reproducible across hosts (the deterministic-shared-seed replacement for
+``broadcast_object_list``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "ColorJitterConfig",
+    "rgb_to_grayscale",
+    "color_jitter",
+    "to_gray",
+    "gaussian_blur",
+    "sharpen",
+    "blur_or_sharpen",
+    "hflip",
+    "normalize",
+    "sample_rrc_boxes",
+    "crop_and_resize",
+    "random_resized_crop",
+    "center_crop",
+    "resize_bilinear",
+    "resize_nearest",
+]
+
+# --------------------------------------------------------------------------
+# Color ops
+# --------------------------------------------------------------------------
+
+# torchvision rgb_to_grayscale weights (albumentations mirrors torchvision in
+# ColorJitter; ToGray uses the cv2 0.299/0.587/0.114 triple — the difference
+# is < 1e-3 and irrelevant for augmentation).
+_GRAY_WEIGHTS = jnp.asarray([0.299, 0.587, 0.114])
+
+
+def rgb_to_grayscale(img, keepdims: bool = True):
+    g = jnp.tensordot(img, _GRAY_WEIGHTS, axes=[[-1], [0]])
+    return g[..., None] if keepdims else g
+
+
+def _blend(a, b, f):
+    """f*a + (1-f)*b, clipped to [0,1]; f broadcast per sample."""
+    return jnp.clip(f * a + (1.0 - f) * b, 0.0, 1.0)
+
+
+def _rgb_to_hsv(img):
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.max(img, axis=-1)
+    minc = jnp.min(img, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ColorJitterConfig:
+    brightness: float = 0.4
+    contrast: float = 0.4
+    saturation: float = 0.4
+    hue: float = 0.1
+    p: float = 0.8
+
+
+def color_jitter(key, img, cfg: ColorJitterConfig = ColorJitterConfig()):
+    """Per-sample ColorJitter in random op order, applied with prob ``cfg.p``
+    (``ssl_train.py:177``: ColorJitter(0.4,0.4,0.4,0.1, p=0.8))."""
+    B = img.shape[0]
+    k_apply, k_b, k_c, k_s, k_h, k_ord = jax.random.split(key, 6)
+    fb = jax.random.uniform(
+        k_b, (B, 1, 1, 1), minval=max(0.0, 1 - cfg.brightness), maxval=1 + cfg.brightness
+    )
+    fc = jax.random.uniform(
+        k_c, (B, 1, 1, 1), minval=max(0.0, 1 - cfg.contrast), maxval=1 + cfg.contrast
+    )
+    fs = jax.random.uniform(
+        k_s, (B, 1, 1, 1), minval=max(0.0, 1 - cfg.saturation), maxval=1 + cfg.saturation
+    )
+    fh = jax.random.uniform(k_h, (B, 1, 1), minval=-cfg.hue, maxval=cfg.hue)
+
+    def op_brightness(x):
+        return jnp.clip(x * fb, 0.0, 1.0)
+
+    def op_contrast(x):
+        mean = jnp.mean(rgb_to_grayscale(x), axis=(1, 2, 3), keepdims=True)
+        return _blend(x, mean, fc)
+
+    def op_saturation(x):
+        return _blend(x, rgb_to_grayscale(x), fs)
+
+    def op_hue(x):
+        hsv = _rgb_to_hsv(x)
+        h = (hsv[..., 0] + fh) % 1.0
+        return _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
+
+    ops = [op_brightness, op_contrast, op_saturation, op_hue]
+    # Per-sample random order: 4 rounds; in round r sample i applies op
+    # perm[i, r]. Each op is computed batch-wide and selected per sample —
+    # cheap elementwise VPU work that XLA fuses.
+    perm = jax.vmap(lambda k: jax.random.permutation(k, 4))(
+        jax.random.split(k_ord, B)
+    )  # (B, 4)
+    out = img
+    for r in range(4):
+        which = perm[:, r]  # (B,)
+        candidates = jnp.stack([op(out) for op in ops], axis=0)  # (4, B, H, W, C)
+        out = jnp.take_along_axis(
+            candidates, which[None, :, None, None, None], axis=0
+        )[0]
+    apply = jax.random.uniform(k_apply, (B, 1, 1, 1)) < cfg.p
+    return jnp.where(apply, out, img)
+
+
+def to_gray(key, img, p: float = 0.2):
+    """albu ToGray(p): replace with 3-channel grayscale per sample."""
+    B = img.shape[0]
+    apply = jax.random.uniform(key, (B, 1, 1, 1)) < p
+    gray = jnp.broadcast_to(rgb_to_grayscale(img), img.shape)
+    return jnp.where(apply, gray, img)
+
+
+def _reflect_pad_hw(img, pad: int):
+    """REFLECT_101 (cv2 default) padding on H and W."""
+    return jnp.pad(
+        img, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
+    )
+
+
+def gaussian_blur(key, img, blur_limit=(19, 23), sigma_limit=(0.1, 2.0)):
+    """albu GaussianBlur: random odd kernel size in ``blur_limit``, sigma in
+    ``sigma_limit``; separable depthwise conv with per-sample kernels.
+
+    Static max tap count (max ksize); smaller sampled ksizes mask the outer
+    taps to zero — same math, XLA-friendly fixed shapes.
+    """
+    B, H, W, C = img.shape
+    kmax = blur_limit[1]
+    half = kmax // 2
+    k_size, k_sigma = jax.random.split(key)
+    n_sizes = (blur_limit[1] - blur_limit[0]) // 2 + 1
+    ksize = blur_limit[0] + 2 * jax.random.randint(k_size, (B,), 0, n_sizes)
+    sigma = jax.random.uniform(
+        k_sigma, (B,), minval=sigma_limit[0], maxval=sigma_limit[1]
+    )
+
+    taps = jnp.arange(-half, half + 1, dtype=jnp.float32)  # (kmax,)
+    kern = jnp.exp(-0.5 * (taps[None, :] / sigma[:, None]) ** 2)  # (B, kmax)
+    mask = jnp.abs(taps[None, :]) <= (ksize[:, None] // 2)
+    kern = jnp.where(mask, kern, 0.0)
+    kern = kern / jnp.sum(kern, axis=1, keepdims=True)
+
+    padded = _reflect_pad_hw(img, half)
+
+    # Separable per-sample kernel as kmax static shifted FMAs per axis —
+    # XLA fuses these into straight VPU multiply-adds (no per-sample conv
+    # plumbing needed).
+    rows = jnp.zeros((B, H, W + 2 * half, C), img.dtype)
+    for t in range(kmax):
+        rows = rows + kern[:, t, None, None, None] * padded[:, t : t + H]
+    out = jnp.zeros((B, H, W, C), img.dtype)
+    for t in range(kmax):
+        out = out + kern[:, t, None, None, None] * rows[:, :, t : t + W]
+    return out
+
+
+def sharpen(key, img, alpha=(0.2, 0.5), lightness=(0.5, 1.0)):
+    """albu Sharpen: 3x3 kernel = (1-a)*identity + a*effect(lightness)."""
+    B, H, W, C = img.shape
+    k_a, k_l = jax.random.split(key)
+    a = jax.random.uniform(k_a, (B, 1, 1), minval=alpha[0], maxval=alpha[1])
+    li = jax.random.uniform(k_l, (B, 1, 1), minval=lightness[0], maxval=lightness[1])
+    ident = jnp.zeros((3, 3)).at[1, 1].set(1.0)
+    effect = jnp.full((3, 3), -1.0)
+    effect = jnp.broadcast_to(effect, (B, 3, 3)).at[:, 1, 1].set(8.0 + li[:, 0, 0])
+    kern = (1.0 - a) * ident[None] + a * effect  # (B, 3, 3)
+
+    padded = _reflect_pad_hw(img, 1)
+    out = jnp.zeros((B, H, W, C), img.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            out = out + kern[:, dy, dx, None, None, None] * padded[
+                :, dy : dy + H, dx : dx + W
+            ]
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def blur_or_sharpen(key, img, p: float = 0.5):
+    """albu OneOf([GaussianBlur(p=.5), Sharpen(p=.5)], p=0.5): with prob 1-p
+    nothing; else 50/50 blur or sharpen (``ssl_train.py:179-185``)."""
+    B = img.shape[0]
+    k_apply, k_pick, k_blur, k_sharp = jax.random.split(key, 4)
+    apply = jax.random.uniform(k_apply, (B, 1, 1, 1)) < p
+    pick_blur = jax.random.uniform(k_pick, (B, 1, 1, 1)) < 0.5
+    blurred = gaussian_blur(k_blur, img)
+    sharped = sharpen(k_sharp, img)
+    return jnp.where(apply, jnp.where(pick_blur, blurred, sharped), img)
+
+
+def hflip(key, img, p: float = 0.5):
+    B = img.shape[0]
+    flip = jax.random.uniform(key, (B, 1, 1, 1)) < p
+    return jnp.where(flip, img[:, :, ::-1, :], img)
+
+
+def normalize(img, mean: Sequence[float], std: Sequence[float]):
+    """(x - mean) / std on [0,1] images == albu Normalize(max_pixel_value=255)
+    on the uint8 source."""
+    mean = jnp.asarray(mean, img.dtype)
+    std = jnp.asarray(std, img.dtype)
+    return (img - mean) / std
+
+
+# --------------------------------------------------------------------------
+# Spatial ops
+# --------------------------------------------------------------------------
+
+
+def sample_rrc_boxes(
+    key,
+    batch: int,
+    src_hw: tuple[int, int],
+    scale: tuple[float, float] = (0.5, 1.0),
+    ratio: tuple[float, float] = (3 / 4, 4 / 3),
+    attempts: int = 10,
+):
+    """Vectorized torchvision/albu RandomResizedCrop box sampling.
+
+    Returns (top, left, height, width) arrays of shape (B,), int32. All
+    ``attempts`` candidates are sampled at once; the first valid one wins,
+    else the aspect-clamped center-crop fallback.
+    """
+    H, W = src_hw
+    area = H * W
+    k_area, k_ratio, k_i, k_j = jax.random.split(key, 4)
+
+    target_area = (
+        jax.random.uniform(k_area, (batch, attempts), minval=scale[0], maxval=scale[1])
+        * area
+    )
+    log_ratio = jax.random.uniform(
+        k_ratio,
+        (batch, attempts),
+        minval=math.log(ratio[0]),
+        maxval=math.log(ratio[1]),
+    )
+    aspect = jnp.exp(log_ratio)
+    w = jnp.round(jnp.sqrt(target_area * aspect)).astype(jnp.int32)
+    h = jnp.round(jnp.sqrt(target_area / aspect)).astype(jnp.int32)
+    valid = (w > 0) & (w <= W) & (h > 0) & (h <= H)
+
+    any_valid = jnp.any(valid, axis=1)
+    first = jnp.argmax(valid, axis=1)  # first True (0 if none)
+    pick = lambda arr: jnp.take_along_axis(arr, first[:, None], axis=1)[:, 0]
+    w_sel, h_sel = pick(w), pick(h)
+
+    # Fallback: clamp aspect then center crop (torchvision semantics).
+    in_ratio = W / H
+    if in_ratio < ratio[0]:
+        fw, fh = W, int(round(W / ratio[0]))
+    elif in_ratio > ratio[1]:
+        fh, fw = H, int(round(H * ratio[1]))
+    else:
+        fw, fh = W, H
+    w_sel = jnp.where(any_valid, w_sel, fw)
+    h_sel = jnp.where(any_valid, h_sel, fh)
+
+    u_i = jax.random.uniform(k_i, (batch,))
+    u_j = jax.random.uniform(k_j, (batch,))
+    top = jnp.floor(u_i * (H - h_sel + 1).astype(jnp.float32)).astype(jnp.int32)
+    left = jnp.floor(u_j * (W - w_sel + 1).astype(jnp.float32)).astype(jnp.int32)
+    top = jnp.where(any_valid, top, (H - h_sel) // 2)
+    left = jnp.where(any_valid, left, (W - w_sel) // 2)
+    return top, left, h_sel, w_sel
+
+
+def _axis_resample_indices(start, size, src_len: int, out_len: int):
+    """2-tap bilinear sampling indices/weights along one axis (cv2
+    half-pixel convention, border clamp). start/size are traced (B,) ints."""
+    startf = start.astype(jnp.float32)
+    scalef = size.astype(jnp.float32) / out_len
+    coords = (jnp.arange(out_len, dtype=jnp.float32)[None, :] + 0.5) * scalef[
+        :, None
+    ] - 0.5 + startf[:, None]
+    # cv2 clamps sample coords to the crop box then the image border; with
+    # crops fully inside the image, clamping to the image border is enough.
+    coords = jnp.clip(coords, 0.0, src_len - 1.0)
+    lo = jnp.floor(coords)
+    frac = coords - lo
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, src_len - 1)
+    return lo_i, hi_i, frac
+
+
+def crop_and_resize(img, boxes, out_size: int):
+    """Per-sample crop (top, left, h, w) + bilinear resize to (out, out).
+
+    Separable gather implementation: resample rows, then columns — two 2-tap
+    lerps instead of a dense resize matmul; static output shape.
+    img: (B, H, W, C) float; boxes: tuple of 4 (B,) int arrays.
+    """
+    top, left, h, w = boxes
+    B, H, W, C = img.shape
+    ylo, yhi, yf = _axis_resample_indices(top, h, H, out_size)
+    xlo, xhi, xf = _axis_resample_indices(left, w, W, out_size)
+
+    def one(im, ylo, yhi, yf, xlo, xhi, xf):
+        rows = jnp.take(im, ylo, axis=0) * (1.0 - yf[:, None, None]) + jnp.take(
+            im, yhi, axis=0
+        ) * yf[:, None, None]
+        cols = jnp.take(rows, xlo, axis=1) * (1.0 - xf[None, :, None]) + jnp.take(
+            rows, xhi, axis=1
+        ) * xf[None, :, None]
+        return cols
+
+    return jax.vmap(one)(img, ylo, yhi, yf, xlo, xhi, xf)
+
+
+def random_resized_crop(
+    key,
+    img,
+    out_size: int,
+    scale: tuple[float, float] = (0.5, 1.0),
+    ratio: tuple[float, float] = (3 / 4, 4 / 3),
+):
+    """albu RandomResizedCrop(out, out, scale=scale) (``ssl_train.py:176``)."""
+    B, H, W, _ = img.shape
+    boxes = sample_rrc_boxes(key, B, (H, W), scale, ratio)
+    return crop_and_resize(img, boxes, out_size)
+
+
+def center_crop(img, crop: int):
+    """albu CenterCrop(crop, crop) — static slice."""
+    H, W = img.shape[1], img.shape[2]
+    y0, x0 = (H - crop) // 2, (W - crop) // 2
+    return img[:, y0 : y0 + crop, x0 : x0 + crop]
+
+
+def resize_bilinear(img, out_size: int):
+    """Full-image bilinear resize (albu Resize, cv2 INTER_LINEAR)."""
+    B = img.shape[0]
+    boxes = (
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), img.shape[1], jnp.int32),
+        jnp.full((B,), img.shape[2], jnp.int32),
+    )
+    return crop_and_resize(img, boxes, out_size)
+
+
+def resize_nearest(img, out_size: int):
+    """Nearest-neighbor resize (albu resizes masks with INTER_NEAREST)."""
+    H, W = img.shape[1], img.shape[2]
+    ys = jnp.clip(
+        jnp.round((jnp.arange(out_size) + 0.5) * H / out_size - 0.5).astype(jnp.int32), 0, H - 1
+    )
+    xs = jnp.clip(
+        jnp.round((jnp.arange(out_size) + 0.5) * W / out_size - 0.5).astype(jnp.int32), 0, W - 1
+    )
+    return img[:, ys][:, :, xs]

@@ -1,0 +1,204 @@
+"""SSL pre-training: jitted train step, optimizer, and state.
+
+Capability parity with the reference's pretrain driver
+(``tools/ssl_train.py:281-309,408-486``) redesigned for XLA:
+
+  * Loss: symmetric negative cosine over the three contrastive paths and four
+    scales with ``fuser_weights`` (``ssl_train.py:448-466``).
+  * Optimizer: Adam with three learning-rate groups keyed on the
+    ``context_/target_/inter_`` parameter prefixes and the sqrt-batch lr
+    scaling ``lr*sqrt(B)/sqrt(32)`` (``ssl_train.py:155,301-309``). The
+    reference parses ``--wd`` but never passes it to Adam
+    (``ssl_train.py:551,309``) — reproduced faithfully (no weight decay).
+  * Mixed precision: bf16 compute dtype end-to-end on TPU, fp32 params and
+    loss; no GradScaler needed (bf16 has fp32's exponent range).
+  * One jit'd step == forward + backward + Adam + BN stat update; under a
+    batch-sharded Mesh, XLA inserts the gradient/BN psum over ICI (the DDP
+    and SyncBN collectives, ``ssl_train.py:160,170``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..models.backbone import MSFWSI
+from ..ops.losses import msfwsi_loss
+
+__all__ = ["SSLConfig", "SSLTrainState", "create_ssl_state", "ssl_train_step", "make_ssl_optimizer"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SSLConfig:
+    """Pretrain hyperparameters; defaults mirror the reference argparse
+    (``ssl_train.py:544-628``)."""
+
+    arch: str = "resnet18"
+    batch_size: int = 32  # global batch
+    lr: float = 1e-3
+    epochs: int = 300
+    dim: int = 2048
+    pred_dim: int = 512
+    mask_ratio: int = 50  # percent, as the reference flag
+    scale: int = 4
+    ms_lr: Sequence[float] = (1.0, 1.0, 1.0)
+    fuser_weights: Sequence[float] = (0.1, 0.4, 0.7, 1.0)
+    seed: int = 3407
+    img_size: int = 224
+    amp: bool = True  # bf16 compute
+    use_ac: bool = False  # activation checkpointing (remat)
+
+    @property
+    def init_lr(self) -> float:
+        # ssl_train.py:155 — sqrt-batch scaling against base batch 32.
+        return self.lr * (self.batch_size**0.5) / (32**0.5)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.amp else jnp.float32
+
+    def build_model(self) -> MSFWSI:
+        return MSFWSI(
+            arch=self.arch,
+            scale=self.scale,
+            dim=self.dim,
+            pred_dim=self.pred_dim,
+            mask_ratio=self.mask_ratio / 100,
+            dtype=self.dtype,
+            remat=self.use_ac,
+        )
+
+
+class SSLTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    model: MSFWSI = struct.field(pytree_node=False)
+
+
+def _param_group(path) -> str:
+    """Label a parameter by its top-level module prefix — the reference's
+    name-prefix partition (``ssl_train.py:281-300``)."""
+    top = path[0] if isinstance(path[0], str) else path[0].key
+    if top.startswith("context_"):
+        return "context"
+    if top.startswith("target_"):
+        return "target"
+    if top.startswith("inter_"):
+        return "inter"
+    raise ValueError(f"parameter {path} not in any optimizer group")
+
+
+def make_ssl_optimizer(config: SSLConfig) -> optax.GradientTransformation:
+    init_lr = config.init_lr
+    groups = {
+        name: optax.adam(init_lr * m, b1=0.9, b2=0.999, eps=1e-8)
+        for name, m in zip(("context", "target", "inter"), config.ms_lr)
+    }
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(lambda path, _: _param_group(path), params)
+
+    return optax.multi_transform(groups, label_fn)
+
+
+def make_example_batch(config: SSLConfig, local_batch: int | None = None):
+    """Shape-correct zero batch (for init / compile checks)."""
+    B = local_batch or config.batch_size
+    K = config.scale**2
+    S = config.img_size
+    img = jnp.zeros((B, S, S, 3), jnp.float32)
+    tgt = jnp.zeros((B * K, S, S, 3), jnp.float32)
+    rev = jnp.tile(jnp.arange(K)[None], (B, 1))
+    return {
+        "context1": img,
+        "context2": img,
+        "target1": tgt,
+        "target2": tgt,
+        "rev1": rev,
+        "rev2": rev,
+    }
+
+
+def create_ssl_state(rng, config: SSLConfig, example_batch=None) -> SSLTrainState:
+    model = config.build_model()
+    batch = example_batch or make_example_batch(config, local_batch=2)
+    variables = model.init(
+        rng,
+        (batch["context1"], batch["target1"]),
+        (batch["context2"], batch["target2"]),
+        (batch["rev1"], batch["rev2"]),
+        train=False,
+    )
+    tx = make_ssl_optimizer(config)
+    params = variables["params"]
+    return SSLTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(params),
+        tx=tx,
+        model=model,
+    )
+
+
+def ssl_loss_fn(model, params, batch_stats, batch, fuser_weights):
+    outputs, mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        (batch["context1"], batch["target1"]),
+        (batch["context2"], batch["target2"]),
+        (batch["rev1"], batch["rev2"]),
+        train=True,
+        mutable=["batch_stats"],
+    )
+    total, per_path = msfwsi_loss(outputs, fuser_weights)
+    return total, (per_path, mutated["batch_stats"])
+
+
+def ssl_train_step(state: SSLTrainState, batch, fuser_weights: Sequence[float]):
+    """One SGD step. Pure function of (state, batch) — jit it once with
+    ``fuser_weights`` closed over (they are static per run)."""
+    grad_fn = jax.value_and_grad(
+        lambda p: ssl_loss_fn(state.model, p, state.batch_stats, batch, fuser_weights),
+        has_aux=True,
+    )
+    (loss, (per_path, new_stats)), grads = grad_fn(state.params)
+    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt_state,
+    )
+    metrics = {"loss": loss, **{f"loss_{k}": v for k, v in per_path.items()}}
+    return new_state, metrics
+
+
+def make_jitted_train_step(config: SSLConfig, mesh=None, donate: bool = True):
+    """Compile the train step; with a mesh, shard the batch over "data" and
+    replicate state (XLA then emits the ICI gradient reduction)."""
+    fuser_weights = tuple(config.fuser_weights)
+
+    def step(state, batch):
+        return ssl_train_step(state, batch, fuser_weights)
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (repl, data)
+        kwargs["out_shardings"] = (repl, repl)
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    return jax.jit(step, **kwargs)

@@ -1,0 +1,220 @@
+"""On-device augmentation tests: op semantics vs torch oracles + pipeline
+shape/distribution checks."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from msfwsi_tpu.ops import augment as A
+from msfwsi_tpu.data import pipeline as P
+
+
+def rand_img(b=2, h=32, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(size=(b, h, w, 3)).astype(np.float32))
+
+
+class TestColorOps:
+    def test_grayscale_weights(self):
+        img = rand_img()
+        g = np.asarray(A.rgb_to_grayscale(img))[..., 0]
+        ref = np.asarray(img) @ np.array([0.299, 0.587, 0.114], np.float32)
+        np.testing.assert_allclose(g, ref, rtol=1e-5)
+
+    def test_color_jitter_p0_identity(self):
+        img = rand_img()
+        cfg = A.ColorJitterConfig(p=0.0)
+        out = A.color_jitter(jax.random.key(0), img, cfg)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+    def test_color_jitter_changes_and_bounded(self):
+        img = rand_img()
+        cfg = A.ColorJitterConfig(p=1.0)
+        out = np.asarray(A.color_jitter(jax.random.key(1), img, cfg))
+        assert not np.array_equal(out, np.asarray(img))
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_hue_roundtrip(self):
+        img = rand_img()
+        hsv = A._rgb_to_hsv(img)
+        back = A._hsv_to_rgb(hsv)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(img), atol=1e-5)
+
+    def test_to_gray_probabilistic(self):
+        img = rand_img(b=512, h=4, w=4)
+        out = np.asarray(A.to_gray(jax.random.key(2), img, p=0.2))
+        is_gray = np.isclose(out[..., 0], out[..., 1], atol=1e-6).all(axis=(1, 2))
+        # ~20% of samples gray (binomial tolerance).
+        assert 0.1 < is_gray.mean() < 0.35
+
+
+class TestBlurSharpen:
+    def test_blur_uniform_invariant(self):
+        img = jnp.full((2, 40, 40, 3), 0.5, jnp.float32)
+        out = np.asarray(A.gaussian_blur(jax.random.key(0), img))
+        np.testing.assert_allclose(out, 0.5, atol=1e-5)
+
+    def test_blur_reduces_variance_preserves_mean(self):
+        img = rand_img(b=2, h=64, w=64)
+        out = np.asarray(A.gaussian_blur(jax.random.key(1), img))
+        assert out.var() < np.asarray(img).var() * 0.6
+        assert abs(out.mean() - np.asarray(img).mean()) < 0.02
+
+    def test_blur_matches_torch_conv(self):
+        # Fixed sigma path vs torch depthwise gaussian (reflect-101 pad).
+        img = rand_img(b=1, h=48, w=48, seed=3)
+        out = np.asarray(
+            A.gaussian_blur(jax.random.key(0), img, blur_limit=(23, 23), sigma_limit=(1.5, 1.5))
+        )
+        t = torch.from_numpy(np.asarray(img)).permute(0, 3, 1, 2)
+        taps = torch.arange(-11, 12, dtype=torch.float32)
+        k1d = torch.exp(-0.5 * (taps / 1.5) ** 2)
+        k1d = k1d / k1d.sum()
+        tp = F.pad(t, (11, 11, 11, 11), mode="reflect")
+        kh = k1d.view(1, 1, 1, 23).repeat(3, 1, 1, 1)
+        kv = k1d.view(1, 1, 23, 1).repeat(3, 1, 1, 1)
+        ref = F.conv2d(F.conv2d(tp, kh, groups=3), kv, groups=3)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_sharpen_alpha0_identity(self):
+        img = rand_img()
+        out = np.asarray(A.sharpen(jax.random.key(0), img, alpha=(0.0, 0.0)))
+        np.testing.assert_allclose(out, np.asarray(img), atol=1e-6)
+
+    def test_sharpen_increases_contrast(self):
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(np.clip(rng.uniform(0.3, 0.7, size=(1, 32, 32, 3)), 0, 1).astype(np.float32))
+        out = np.asarray(A.sharpen(jax.random.key(1), img, alpha=(0.5, 0.5)))
+        assert out.var() > np.asarray(img).var()
+
+
+class TestSpatial:
+    def test_hflip(self):
+        img = rand_img(b=256, h=4, w=6)
+        out = np.asarray(A.hflip(jax.random.key(0), img, p=1.0))
+        np.testing.assert_array_equal(out, np.asarray(img)[:, :, ::-1, :])
+        frac = [
+            np.array_equal(o, i[:, ::-1])
+            for o, i in zip(np.asarray(A.hflip(jax.random.key(1), img, p=0.5)), np.asarray(img))
+        ]
+        assert 0.3 < np.mean(frac) < 0.7
+
+    def test_normalize(self):
+        img = rand_img()
+        mean, std = (0.5, 0.4, 0.3), (0.2, 0.25, 0.3)
+        out = np.asarray(A.normalize(img, mean, std))
+        ref = (np.asarray(img) - np.array(mean)) / np.array(std)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    def test_center_crop(self):
+        img = rand_img(h=10, w=10)
+        out = np.asarray(A.center_crop(img, 6))
+        np.testing.assert_array_equal(out, np.asarray(img)[:, 2:8, 2:8])
+
+    def test_resize_bilinear_matches_torch(self):
+        img = rand_img(b=2, h=37, w=53, seed=5)
+        out = np.asarray(A.resize_bilinear(img, 16))
+        t = torch.from_numpy(np.asarray(img)).permute(0, 3, 1, 2)
+        ref = (
+            F.interpolate(t, size=(16, 16), mode="bilinear", align_corners=False)
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_crop_and_resize_matches_torch(self):
+        img = rand_img(b=1, h=64, w=64, seed=6)
+        top, left, h, w = 7, 11, 40, 33
+        boxes = tuple(jnp.asarray([v], jnp.int32) for v in (top, left, h, w))
+        out = np.asarray(A.crop_and_resize(img, boxes, 24))
+        t = torch.from_numpy(np.asarray(img)[:, top : top + h, left : left + w]).permute(0, 3, 1, 2)
+        ref = (
+            F.interpolate(t, size=(24, 24), mode="bilinear", align_corners=False)
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_resize_nearest_labels_preserved(self):
+        mask = jnp.asarray(np.random.default_rng(7).integers(0, 5, size=(2, 33, 33, 1)))
+        out = np.asarray(A.resize_nearest(mask, 16))
+        assert set(np.unique(out)) <= set(np.unique(np.asarray(mask)))
+        assert out.shape == (2, 16, 16, 1)
+
+    def test_rrc_boxes_in_bounds_and_scaled(self):
+        B, H, W = 512, 100, 80
+        top, left, h, w = A.sample_rrc_boxes(
+            jax.random.key(0), B, (H, W), scale=(0.5, 1.0)
+        )
+        top, left, h, w = (np.asarray(v) for v in (top, left, h, w))
+        assert (top >= 0).all() and (left >= 0).all()
+        assert (top + h <= H).all() and (left + w <= W).all()
+        areas = h * w / (H * W)
+        # Rounding slop around the [0.5, 1.0] area bounds.
+        assert areas.min() > 0.42 and areas.max() <= 1.01
+        assert 0.55 < areas.mean() < 0.95
+
+    def test_random_resized_crop_shape(self):
+        img = rand_img(b=3, h=64, w=64)
+        out = A.random_resized_crop(jax.random.key(0), img, 32)
+        assert out.shape == (3, 32, 32, 3)
+
+
+class TestPipelines:
+    def test_ssl_views_shapes(self):
+        cfg = P.AugConfig(img_size=32, grid=2, tile_px=32)
+        tiles = jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, size=(2, 64, 64, 3), dtype=np.uint8)
+        )
+        batch = jax.jit(lambda k, t: P.make_ssl_views(k, t, cfg))(jax.random.key(0), tiles)
+        assert batch["context1"].shape == (2, 32, 32, 3)
+        assert batch["target1"].shape == (8, 32, 32, 3)
+        assert batch["rev1"].shape == (2, 4)
+        # rev is a valid permutation per sample
+        rev = np.asarray(batch["rev1"])
+        for r in rev:
+            assert sorted(r.tolist()) == [0, 1, 2, 3]
+        # two views differ (augmentation applied)
+        assert not np.allclose(np.asarray(batch["context1"]), np.asarray(batch["context2"]))
+
+    def test_ssl_views_deterministic_under_key(self):
+        cfg = P.AugConfig(img_size=16, grid=2, tile_px=16)
+        tiles = jnp.asarray(
+            np.random.default_rng(1).integers(0, 255, size=(1, 32, 32, 3), dtype=np.uint8)
+        )
+        b1 = P.make_ssl_views(jax.random.key(7), tiles, cfg)
+        b2 = P.make_ssl_views(jax.random.key(7), tiles, cfg)
+        for k in b1:
+            np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
+
+    def test_seg_train_views(self):
+        cfg = P.AugConfig(seg_size=32)
+        rng = np.random.default_rng(2)
+        imgs = jnp.asarray(rng.integers(0, 255, size=(2, 128, 128, 3), dtype=np.uint8))
+        masks = jnp.asarray(rng.integers(0, 6, size=(2, 128, 128), dtype=np.uint8))
+        (ctx, tgt), (cm, tm) = jax.jit(
+            lambda k, i, m: P.make_seg_train_views(k, i, m, cfg)
+        )(jax.random.key(0), imgs, masks)
+        assert ctx.shape == (2, 32, 32, 3) and tgt.shape == (2, 32, 32, 3)
+        assert cm.shape == (2, 32, 32) and tm.shape == (2, 32, 32)
+        assert cm.dtype == jnp.int32
+        # target mask values come from the center crop region of the source
+        assert set(np.unique(np.asarray(tm))) <= set(np.unique(np.asarray(masks)))
+
+    def test_seg_val_views_deterministic(self):
+        cfg = P.AugConfig(seg_size=32)
+        rng = np.random.default_rng(3)
+        imgs = jnp.asarray(rng.integers(0, 255, size=(2, 64, 64, 3), dtype=np.uint8))
+        masks = jnp.asarray(rng.integers(0, 6, size=(2, 64, 64), dtype=np.uint8))
+        (ctx1, tgt1), (cm1, tm1) = P.make_seg_val_views(imgs, masks, cfg)
+        (ctx2, tgt2), _ = P.make_seg_val_views(imgs, masks, cfg)
+        np.testing.assert_array_equal(np.asarray(ctx1), np.asarray(ctx2))
+        # center-crop target: mask is an exact slice of the source
+        np.testing.assert_array_equal(
+            np.asarray(tm1), np.asarray(masks)[:, 16:48, 16:48].astype(np.int32)
+        )

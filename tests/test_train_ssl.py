@@ -1,0 +1,125 @@
+"""SSL train-step tests: optimization works, param groups, multi-device."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msfwsi_tpu.parallel import make_mesh, shard_batch, MeshSpec
+from msfwsi_tpu.train import ssl as S
+
+
+def tiny_config(**kw):
+    defaults = dict(arch="resnet18", scale=2, img_size=32, batch_size=8, amp=False)
+    defaults.update(kw)
+    return S.SSLConfig(**defaults)
+
+
+def random_batch(config, B, seed=0):
+    rng = np.random.default_rng(seed)
+    K, Sz = config.scale**2, config.img_size
+    rev = np.stack([rng.permutation(K) for _ in range(B)])
+    return {
+        "context1": jnp.asarray(rng.normal(size=(B, Sz, Sz, 3)), jnp.float32),
+        "context2": jnp.asarray(rng.normal(size=(B, Sz, Sz, 3)), jnp.float32),
+        "target1": jnp.asarray(rng.normal(size=(B * K, Sz, Sz, 3)), jnp.float32),
+        "target2": jnp.asarray(rng.normal(size=(B * K, Sz, Sz, 3)), jnp.float32),
+        "rev1": jnp.asarray(np.argsort(rev, axis=1)),
+        "rev2": jnp.asarray(np.argsort(rev, axis=1)),
+    }
+
+
+class TestLrScaling:
+    def test_sqrt_batch_rule(self):
+        assert tiny_config(batch_size=32, lr=1e-3).init_lr == pytest.approx(1e-3)
+        assert tiny_config(batch_size=128, lr=1e-3).init_lr == pytest.approx(2e-3)
+
+    def test_mask_ratio_keep(self):
+        m = tiny_config(scale=4, mask_ratio=50).build_model()
+        assert m.K == 16 and m.n_keep == 8
+        m = tiny_config(scale=4, mask_ratio=75).build_model()
+        assert m.n_keep == 4
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        config = tiny_config()
+        state = S.create_ssl_state(jax.random.key(0), config)
+        batch = random_batch(config, B=8)
+        step = S.make_jitted_train_step(config)
+        losses = []
+        for _ in range(6):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        # Repeatedly fitting one batch must reduce the contrastive loss.
+        assert losses[-1] < losses[0] - 0.05
+        assert int(state.step) == 6
+
+    def test_metrics_structure(self):
+        config = tiny_config()
+        state = S.create_ssl_state(jax.random.key(0), config)
+        batch = random_batch(config, B=8)
+        step = S.make_jitted_train_step(config, donate=False)
+        _, metrics = step(state, batch)
+        assert set(metrics) == {"loss", "loss_context", "loss_target", "loss_fuser"}
+        total = metrics["loss_context"] + metrics["loss_target"] + metrics["loss_fuser"]
+        assert float(metrics["loss"]) == pytest.approx(float(total), rel=1e-5)
+
+    def test_ms_lr_group_scaling(self):
+        # With ms_lr = [1, 0, 0], target_/inter_ params must not move.
+        config = tiny_config(ms_lr=(1.0, 0.0, 0.0))
+        state = S.create_ssl_state(jax.random.key(0), config)
+        before = jax.tree_util.tree_map(lambda x: x.copy(), state.params)
+        batch = random_batch(config, B=8)
+        step = S.make_jitted_train_step(config, donate=False)
+        state, _ = step(state, batch)
+
+        def delta(prefix):
+            tot = 0.0
+            for top in state.params:
+                if top.startswith(prefix):
+                    a = jax.tree_util.tree_leaves(state.params[top])
+                    b = jax.tree_util.tree_leaves(before[top])
+                    tot += sum(float(jnp.abs(x - y).sum()) for x, y in zip(a, b))
+            return tot
+
+        assert delta("context_") > 0
+        assert delta("target_") == 0.0
+        assert delta("inter_") == 0.0
+
+
+class TestMultiDevice:
+    def test_sharded_step_runs_and_matches_single(self):
+        assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+        config = tiny_config(batch_size=8)
+        state = S.create_ssl_state(jax.random.key(0), config)
+        batch = random_batch(config, B=8)
+
+        mesh = make_mesh(MeshSpec(data=8), devices=jax.devices()[:8])
+        sharded_step = S.make_jitted_train_step(config, mesh=mesh, donate=False)
+        sharded_batch = shard_batch(mesh, batch)
+        state_sh, metrics_sh = sharded_step(state, sharded_batch)
+
+        single_step = S.make_jitted_train_step(config, donate=False)
+        state_1, metrics_1 = single_step(state, batch)
+
+        # Global-batch math is identical regardless of sharding (BN stats are
+        # global means under GSPMD == SyncBN), so losses must agree closely.
+        assert float(metrics_sh["loss"]) == pytest.approx(
+            float(metrics_1["loss"]), rel=1e-4, abs=1e-5
+        )
+        # And parameters stay in sync. Adam's first step is ±lr * sign(g);
+        # where g≈0, cross-device reduction order can flip the sign (diff
+        # 2*lr) — tolerate that on <1% of elements, require the rest tight.
+        lr = config.init_lr
+        total, flipped = 0, 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state_sh.params),
+            jax.tree_util.tree_leaves(state_1.params),
+        ):
+            d = np.abs(np.asarray(a) - np.asarray(b))
+            assert d.max() <= 2.05 * lr
+            flipped += int((d > 0.5 * lr).sum())
+            total += d.size
+        assert flipped / total < 0.01
