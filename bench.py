@@ -24,7 +24,7 @@ BASELINE_TILES_PER_SEC = 5000.0
 
 def main():
     arch = os.environ.get("BENCH_ARCH", "resnet18")
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
 
@@ -54,13 +54,17 @@ def main():
 
     for _ in range(warmup):
         state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics)
+    # Force a host read: on some backends (axon tunnel) block_until_ready
+    # can return while the pipeline is still one step deep; a scalar
+    # device->host transfer is a true sync point.
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics)
+    final_loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
+    assert final_loss == final_loss, "NaN loss in benchmark"
 
     n_chips = jax.device_count()
     samples_per_sec = batch * iters / dt

@@ -1,0 +1,141 @@
+"""Per-slide tiled validation — parity with ``tools/evaluate.py:240-326`` /
+``ssl_finetune.py:477-563``.
+
+Semantics reproduced exactly:
+  * one "batch" == one slide == all its tiles;
+  * tiles run through HookNet in chunks of 128 (``evaluate.py:270-281``);
+  * predicted mask = argmax of the *target* logits;
+  * stats: ``get_stats(pred-1, mask-1, multiclass, ignore_index=-1)`` so
+    background 0 is ignored (``evaluate.py:284-291``);
+  * micro F1/IoU/accuracy per slide, means over slides
+    (``evaluate.py:293-298,319-326``);
+  * per-class: sum tp/fp/fn/tn over the slide's tiles, then reduction=None
+    scores, appended per slide (``evaluate.py:300-310``).
+
+XLA-friendly chunking: slides have variable tile counts, so tiles are padded
+to a multiple of ``chunk`` (padded predictions are dropped before scoring) —
+every chunk has the same static shape and one compile covers every slide.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.metrics import accuracy, f1_score, get_stats, iou_score
+
+__all__ = ["make_chunk_forward", "validate_slide", "validate", "SlideScores"]
+
+
+def make_chunk_forward(model, chunk: int = 128):
+    """Jitted forward over one fixed-size chunk of (context, target) tiles,
+    returning the predicted target mask (chunk, H, W) int32."""
+
+    @jax.jit
+    def forward(variables, ctx, tgt):
+        _, tgt_logits = model.apply(variables, ctx, tgt, train=False)
+        return jnp.argmax(tgt_logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+
+    return forward
+
+
+def _pad_to_multiple(arr: np.ndarray, chunk: int):
+    n = arr.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        arr = np.concatenate([arr, np.zeros((pad, *arr.shape[1:]), arr.dtype)], axis=0)
+    return arr, n
+
+
+def validate_slide(
+    forward: Callable,
+    variables,
+    context_tiles: np.ndarray,
+    target_tiles: np.ndarray,
+    target_masks: np.ndarray,
+    num_classes: int,
+    chunk: int = 128,
+):
+    """Evaluate one slide; returns (micro dict, per-class tp/fp/fn/tn sums)."""
+    ctx, n = _pad_to_multiple(np.asarray(context_tiles), chunk)
+    tgt, _ = _pad_to_multiple(np.asarray(target_tiles), chunk)
+    masks = np.asarray(target_masks)
+
+    preds = []
+    for i in range(0, ctx.shape[0], chunk):
+        preds.append(np.asarray(forward(variables, ctx[i : i + chunk], tgt[i : i + chunk])))
+    pred = np.concatenate(preds, axis=0)[:n]
+
+    tp, fp, fn, tn = get_stats(
+        jnp.asarray(pred) - 1,
+        jnp.asarray(masks.astype(np.int32)) - 1,
+        num_classes=num_classes,
+        ignore_index=-1,
+    )
+    micro = {
+        "f1": float(f1_score(tp, fp, fn, tn, reduction="micro")),
+        "iou": float(iou_score(tp, fp, fn, tn, reduction="micro")),
+        "acc": float(accuracy(tp, fp, fn, tn, reduction="micro")),
+    }
+    sums = tuple(np.asarray(x.sum(0)) for x in (tp, fp, fn, tn))
+    return micro, sums
+
+
+class SlideScores:
+    """Accumulates the reference's validation aggregates
+    (``evaluate.py:251-256,319-326``)."""
+
+    def __init__(self, class_names):
+        self.class_names = list(class_names)
+        self.micro = {"f1": [], "iou": [], "acc": []}
+        self.per_class = {
+            m: {c: [] for c in self.class_names} for m in ("f1", "iou", "acc")
+        }
+
+    def update(self, micro: dict, sums):
+        for k, v in micro.items():
+            self.micro[k].append(v)
+        tp, fp, fn, tn = (jnp.asarray(x) for x in sums)
+        raw = {
+            "f1": f1_score(tp, fp, fn, tn, reduction=None),
+            "iou": iou_score(tp, fp, fn, tn, reduction=None),
+            "acc": accuracy(tp, fp, fn, tn, reduction=None),
+        }
+        for m, scores in raw.items():
+            for idx, cls in enumerate(self.class_names):
+                self.per_class[m][cls].append(float(scores[idx]))
+
+    def summary(self):
+        out = {f"{k}_micro": float(np.mean(v)) for k, v in self.micro.items()}
+        for m in ("f1", "iou", "acc"):
+            for cls in self.class_names:
+                out[f"{m}_{cls}"] = float(np.mean(self.per_class[m][cls]))
+        return out
+
+
+def validate(
+    model,
+    variables,
+    slides: Iterable,
+    class_names,
+    chunk: int = 128,
+    forward=None,
+):
+    """Full validation pass over an iterable of slides, each
+    ``(context_tiles, target_tiles, target_masks)`` uint8/float arrays.
+
+    Returns the summary dict: micro means over slides + per-class means —
+    the numbers the reference logs at ``evaluate.py:226-237``.
+    """
+    forward = forward or make_chunk_forward(model, chunk)
+    scores = SlideScores(class_names)
+    num_classes = len(list(class_names))
+    for ctx, tgt, masks in slides:
+        micro, sums = validate_slide(
+            forward, variables, ctx, tgt, masks, num_classes=num_classes, chunk=chunk
+        )
+        scores.update(micro, sums)
+    return scores.summary()

@@ -1,0 +1,193 @@
+"""HookNet fine-tuning: state, checkpoint surgery, jitted train step.
+
+Parity with ``tools/ssl_finetune.py``:
+  * model: HookNet with ``classes = len(class_names) + 1`` (background 0)
+    (``ssl_finetune.py:137-144``);
+  * SSL checkpoint surgery: the pretrained ``context_encoder`` /
+    ``target_encoder`` (minus fc, which our encoders never materialize for
+    pooled features) load into the two branch encoders
+    (``ssl_finetune.py:146-172``);
+  * loss: ``(1-lam)*Dice(context) + lam*Dice(target)`` over classes 1..C,
+    from logits (``ssl_finetune.py:287-288,433-436``), lam default 1;
+  * optimizer: Adam, lr scaled ``lr*sqrt(B)/sqrt(64)``
+    (``ssl_finetune.py:178,289``);
+  * train metrics: per-batch confusion stats of the target argmax with
+    background ignored (``ssl_finetune.py:440-447``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.hooknet import HookNet
+from ..ops.losses import dice_loss
+from ..ops.metrics import get_stats
+
+__all__ = [
+    "FinetuneConfig",
+    "SegTrainState",
+    "create_finetune_state",
+    "load_ssl_encoders",
+    "finetune_train_step",
+    "make_jitted_finetune_step",
+    "PAIP_CLASSES",
+    "BCSS_CLASSES",
+    "C16_CLASSES",
+]
+
+# ssl_finetune.py:38-40
+PAIP_CLASSES = ["tissue", "whole", "viable"]
+BCSS_CLASSES = ["tumor", "stroma", "infla", "necr", "other"]
+C16_CLASSES = ["tissue", "tumour"]
+
+
+@dataclasses.dataclass(frozen=True)
+class FinetuneConfig:
+    arch: str = "resnet18"
+    class_names: Sequence[str] = tuple(BCSS_CLASSES)
+    batch_size: int = 64
+    lr: float = 1e-3
+    epochs: int = 50
+    lam: float = 1.0
+    seg_size: int = 256
+    amp: bool = True
+    use_ac: bool = False
+    seed: int = 3407
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.class_names) + 1  # + background
+
+    @property
+    def init_lr(self) -> float:
+        # ssl_finetune.py:178 — sqrt-batch scaling against base batch 64.
+        return self.lr * (self.batch_size**0.5) / (64**0.5)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.amp else jnp.float32
+
+    def build_model(self) -> HookNet:
+        return HookNet(
+            arch=self.arch,
+            classes=self.num_classes,
+            dtype=self.dtype,
+            remat=self.use_ac,
+        )
+
+
+class SegTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    model: HookNet = struct.field(pytree_node=False)
+
+
+def create_finetune_state(rng, config: FinetuneConfig, local_batch: int = 2) -> SegTrainState:
+    model = config.build_model()
+    x = jnp.zeros((local_batch, config.seg_size, config.seg_size, 3), jnp.float32)
+    variables = model.init(rng, x, x, train=False)
+    tx = optax.adam(config.init_lr, b1=0.9, b2=0.999, eps=1e-8)
+    params = variables["params"]
+    return SegTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(params),
+        tx=tx,
+        model=model,
+    )
+
+
+def load_ssl_encoders(state: SegTrainState, ssl_variables) -> SegTrainState:
+    """Checkpoint surgery (``ssl_finetune.py:146-172``): SSL
+    ``context_encoder`` -> context branch encoder, ``target_encoder`` ->
+    target branch encoder (params *and* BN running stats)."""
+
+    def graft(tree, branch, encoder):
+        tree = dict(tree)
+        btree = dict(tree[branch])
+        btree["encoder"] = encoder
+        tree[branch] = btree
+        return tree
+
+    params = graft(
+        graft(state.params, "context_branch", ssl_variables["params"]["context_encoder"]),
+        "target_branch",
+        ssl_variables["params"]["target_encoder"],
+    )
+    stats = graft(
+        graft(
+            state.batch_stats, "context_branch", ssl_variables["batch_stats"]["context_encoder"]
+        ),
+        "target_branch",
+        ssl_variables["batch_stats"]["target_encoder"],
+    )
+    # Optimizer state must be rebuilt for the grafted params.
+    return state.replace(params=params, batch_stats=stats, opt_state=state.tx.init(params))
+
+
+def finetune_loss_fn(model, params, batch_stats, batch, lam: float, num_fg: int):
+    classes = list(range(1, num_fg + 1))
+    (ctx_logits, tgt_logits), mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        batch["context"],
+        batch["target"],
+        train=True,
+        mutable=["batch_stats"],
+    )
+    loss = (1.0 - lam) * dice_loss(
+        ctx_logits, batch["context_mask"], classes=classes
+    ) + lam * dice_loss(tgt_logits, batch["target_mask"], classes=classes)
+    return loss, (tgt_logits, mutated["batch_stats"])
+
+
+def finetune_train_step(state: SegTrainState, batch, lam: float, num_fg: int):
+    grad_fn = jax.value_and_grad(
+        lambda p: finetune_loss_fn(state.model, p, state.batch_stats, batch, lam, num_fg),
+        has_aux=True,
+    )
+    (loss, (tgt_logits, new_stats)), grads = grad_fn(state.params)
+    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt_state,
+    )
+    # Train-time confusion stats with background ignored
+    # (ssl_finetune.py:440-447): pred-1 vs mask-1, ignore -1.
+    pred = jnp.argmax(tgt_logits.astype(jnp.float32), axis=-1)
+    tp, fp, fn, tn = get_stats(
+        pred - 1, batch["target_mask"] - 1, num_classes=num_fg, ignore_index=-1
+    )
+    return new_state, {"loss": loss, "tp": tp, "fp": fp, "fn": fn, "tn": tn}
+
+
+def make_jitted_finetune_step(config: FinetuneConfig, mesh=None, donate: bool = True):
+    lam = float(config.lam)
+    num_fg = len(config.class_names)
+
+    def step(state, batch):
+        return finetune_train_step(state, batch, lam, num_fg)
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (repl, data)
+        kwargs["out_shardings"] = (repl, repl)
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    return jax.jit(step, **kwargs)
