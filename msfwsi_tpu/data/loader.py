@@ -1,0 +1,191 @@
+"""Host-side streaming tile loader with prefetch.
+
+The reference feeds the GPU from 8 torch DataLoader workers doing PIL decode
++ 36 albumentations calls per sample (``ssl_train.py:267-275``). Here the
+host only has to *decode PNGs and batch uint8 pixels* — every augmentation
+runs on-device (:mod:`..data.pipeline`) — so a small thread pool saturates
+the TPU:
+
+  * files are sharded across hosts like ``DistributedSampler``
+    (rank-strided after a seeded global shuffle, ``ssl_train.py:262-263``);
+  * batches are decoded by a thread pool and staged into a depth-2 prefetch
+    queue (double buffering) while the device computes;
+  * arrays are placed on device (optionally with a batch `NamedSharding`)
+    as raw uint8 — 4x less PCIe/ICI traffic than float32.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from os import path as osp
+from typing import Callable, Iterator, Sequence
+
+import jax
+import numpy as np
+from PIL import Image
+
+__all__ = ["TileBatchLoader", "load_image", "load_slide_arrays", "synthetic_tile_library"]
+
+
+def load_image(path: str) -> np.ndarray:
+    with Image.open(path) as im:
+        return np.asarray(im)
+
+
+def _shard_files(files: list, epoch_seed: int, process_index: int, process_count: int, shuffle: bool):
+    files = list(files)
+    if shuffle:
+        rng = np.random.default_rng(epoch_seed)
+        order = rng.permutation(len(files))
+        files = [files[i] for i in order]
+    if process_count > 1:
+        # DistributedSampler parity: pad to a multiple of world size, stride.
+        pad = (-len(files)) % process_count
+        files = files + files[:pad]
+        files = files[process_index::process_count]
+    return files
+
+
+class TileBatchLoader:
+    """Iterates device-resident uint8 batches from a file list.
+
+    Args:
+      root: directory the manifest paths are relative to.
+      files: relative image paths (optionally (img, mask) tuples).
+      batch_size: per-host batch size.
+      load_fn: file record -> numpy array(s); default: decode single image.
+      sharding: optional `jax.sharding.Sharding` for the batch.
+      drop_last: drop the trailing partial batch (True matches the
+        reference's pretrain loader, ``ssl_train.py:274``).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        files: Sequence,
+        batch_size: int,
+        *,
+        load_fn: Callable | None = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_threads: int = 8,
+        prefetch: int = 2,
+        sharding=None,
+    ):
+        self.root = root
+        self.files = list(files)
+        self.batch_size = batch_size
+        self.load_fn = load_fn or (lambda rec: load_image(osp.join(root, rec)))
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.sharding = sharding
+
+    def __len__(self):
+        n = len(self.files) // self.batch_size
+        if not self.drop_last and len(self.files) % self.batch_size:
+            n += 1
+        return n
+
+    def _batches(self, files):
+        n = len(files)
+        stop = n - n % self.batch_size if self.drop_last else n
+        for i in range(0, stop, self.batch_size):
+            yield files[i : i + self.batch_size]
+        if not self.drop_last and stop < n:
+            yield files[stop:]
+
+    def epoch(self, epoch: int = 0) -> Iterator:
+        """Yield one epoch of batches (device arrays)."""
+        files = _shard_files(
+            self.files,
+            epoch_seed=hash((self.seed, epoch)) & 0x7FFFFFFF,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            shuffle=self.shuffle,
+        )
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for batch_files in self._batches(files):
+                    arrays = list(pool.map(self.load_fn, batch_files))
+                    if isinstance(arrays[0], tuple):
+                        stacked = tuple(
+                            np.stack([a[j] for a in arrays]) for j in range(len(arrays[0]))
+                        )
+                    else:
+                        stacked = np.stack(arrays)
+                    q.put(stacked)
+            q.put(stop)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if self.sharding is not None:
+                item = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, self.sharding), item
+                )
+            else:
+                item = jax.tree_util.tree_map(jax.device_put, item)
+            yield item
+        t.join()
+
+
+def load_slide_arrays(root: str, group, num_threads: int = 8):
+    """Decode one validation slide group -> (imgs (T,H,W,3), masks (T,H,W))."""
+    with ThreadPoolExecutor(num_threads) as pool:
+        imgs = list(pool.map(lambda s: load_image(osp.join(root, s.img)), group.samples))
+        masks = list(pool.map(lambda s: load_image(osp.join(root, s.mask)), group.samples))
+    return np.stack(imgs), np.stack(masks)
+
+
+def synthetic_tile_library(
+    n_slides: int = 4,
+    tiles_per_slide: int = 8,
+    tile_size: int = 1024,
+    num_classes: int = 5,
+    seed: int = 0,
+):
+    """In-memory synthetic tile corpus mirroring the prep output — smooth
+    color fields + blobby masks. For smoke tests / benchmarks (the analog of
+    ``--quick-test``)."""
+    rng = np.random.default_rng(seed)
+    imgs, masks, slide_ids = [], [], []
+    for s in range(n_slides):
+        for t in range(tiles_per_slide):
+            yy, xx = np.mgrid[0:tile_size, 0:tile_size]
+            freq = rng.uniform(1, 4, size=(2, 3))
+            phase = rng.uniform(0, 2 * np.pi, size=3)
+            img = np.stack(
+                [
+                    127
+                    + 120
+                    * np.sin(
+                        freq[0, c] * np.pi * yy / tile_size
+                        + freq[1, c] * np.pi * xx / tile_size
+                        + phase[c]
+                    )
+                    for c in range(3)
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            cy, cx = rng.integers(0, tile_size, 2)
+            r = rng.integers(tile_size // 8, tile_size // 2)
+            blob = ((yy - cy) ** 2 + (xx - cx) ** 2) < r**2
+            mask = np.zeros((tile_size, tile_size), np.uint8)
+            mask[blob] = rng.integers(1, num_classes + 1)
+            imgs.append(img)
+            masks.append(mask)
+            slide_ids.append(s)
+    return np.stack(imgs), np.stack(masks), np.asarray(slide_ids)

@@ -1,0 +1,247 @@
+"""Checkpoint interop tests: torch->flax conversion validated by forward
+numerics against hand-built torch oracle modules (the published
+torchvision/SimSiam/smp layer stacks), plus Orbax round-trips."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from msfwsi_tpu.models import resnet as R
+from msfwsi_tpu.models.backbone import Projector, Predictor
+from msfwsi_tpu.models.hooknet import DecoderBlock
+from msfwsi_tpu.train import checkpoint as C
+from msfwsi_tpu.train import ssl as S
+
+
+# ---------------------------------------------------------------------------
+# Torch oracle: torchvision-style resnet18 (BasicBlock), eval mode
+# ---------------------------------------------------------------------------
+
+
+class TorchBasicBlock(tnn.Module):
+    def __init__(self, inp, planes, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inp, planes, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.downsample = None
+        if stride != 1 or inp != planes:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(inp, planes, 1, stride, bias=False), tnn.BatchNorm2d(planes)
+            )
+
+    def forward(self, x):
+        idt = x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            idt = self.downsample(x)
+        return F.relu(out + idt)
+
+
+class TorchResNet18(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        self.layer1 = tnn.Sequential(TorchBasicBlock(64, 64), TorchBasicBlock(64, 64))
+        self.layer2 = tnn.Sequential(TorchBasicBlock(64, 128, 2), TorchBasicBlock(128, 128))
+        self.layer3 = tnn.Sequential(TorchBasicBlock(128, 256, 2), TorchBasicBlock(256, 256))
+        self.layer4 = tnn.Sequential(TorchBasicBlock(256, 512, 2), TorchBasicBlock(512, 512))
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        x1 = self.layer1(x)
+        x2 = self.layer2(x1)
+        x3 = self.layer3(x2)
+        x4 = self.layer4(x3)
+        pool = lambda t: t.mean(dim=(2, 3))
+        return pool(x1), pool(x2), pool(x3), pool(x4)
+
+
+def randomize_bn_stats(module, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    for m in module.modules():
+        if isinstance(m, (tnn.BatchNorm2d, tnn.BatchNorm1d)):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+class TestResNetInterop:
+    def test_forward_parity_with_torch_oracle(self):
+        torch.manual_seed(0)
+        oracle = TorchResNet18().eval()
+        randomize_bn_stats(oracle)
+
+        sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+        # torch Sequential names: layer1.0.conv1.weight — converter expects that.
+        params, stats = C.torch_resnet_to_flax(sd)
+
+        model = R.get_encoder("resnet18")
+        x = np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
+        ours = jax.jit(
+            lambda v, x: model.apply(v, x, train=False, features="pooled")
+        )({"params": params, "batch_stats": stats}, jnp.asarray(x))
+
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(x).permute(0, 3, 1, 2))
+        for a, b in zip(ours, ref):
+            np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=1e-3, atol=1e-4)
+
+    def test_converted_tree_matches_init_structure(self):
+        torch.manual_seed(1)
+        oracle = TorchResNet18()
+        sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+        params, stats = C.torch_resnet_to_flax(sd)
+
+        model = R.get_encoder("resnet18")
+        ref_vars = jax.jit(
+            lambda k: model.init(k, jnp.zeros((1, 64, 64, 3)), train=False)
+        )(jax.random.key(0))
+
+        def paths(tree):
+            return {
+                jax.tree_util.keystr(p): v.shape
+                for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+            }
+
+        assert paths(params) == paths(ref_vars["params"])
+        assert paths(stats) == paths(ref_vars["batch_stats"])
+
+
+class TestMLPInterop:
+    def test_projector_parity(self):
+        # Reference make_projector (backbone.py:12-22) as torch oracle.
+        d, out = 32, 32
+        torch.manual_seed(2)
+        oracle = tnn.Sequential(
+            tnn.Linear(d, d, bias=False), tnn.BatchNorm1d(d), tnn.ReLU(),
+            tnn.Linear(d, d, bias=False), tnn.BatchNorm1d(d), tnn.ReLU(),
+            tnn.Linear(d, out, bias=False), tnn.BatchNorm1d(out, affine=False),
+        ).eval()
+        randomize_bn_stats(oracle, seed=3)
+        sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+
+        params, stats = {}, {}
+        C._torch_mlp_to_flax(sd, C._PROJECTOR_SEQ, params, stats, "proj")
+
+        model = Projector(out)
+        x = np.random.default_rng(1).normal(size=(4, d)).astype(np.float32)
+        ours = model.apply(
+            {"params": params["proj"], "batch_stats": stats["proj"]},
+            jnp.asarray(x),
+            train=False,
+        )
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(x))
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_predictor_parity(self):
+        d, hid = 32, 8
+        torch.manual_seed(4)
+        oracle = tnn.Sequential(
+            tnn.Linear(d, hid, bias=False), tnn.BatchNorm1d(hid), tnn.ReLU(),
+            tnn.Linear(hid, d),
+        ).eval()
+        randomize_bn_stats(oracle, seed=5)
+        sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+        params, stats = {}, {}
+        C._torch_mlp_to_flax(sd, C._PREDICTOR_SEQ, params, stats, "pred")
+
+        model = Predictor(hid)
+        x = np.random.default_rng(2).normal(size=(4, d)).astype(np.float32)
+        ours = model.apply(
+            {"params": params["pred"], "batch_stats": stats["pred"]},
+            jnp.asarray(x),
+            train=False,
+        )
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(x))
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+class TorchDecoderBlock(tnn.Module):
+    """smp DecoderBlock oracle: 2x nearest upsample -> concat -> 2x(conv-bn-relu)."""
+
+    def __init__(self, in_ch, skip_ch, out_ch):
+        super().__init__()
+        self.conv1 = tnn.Sequential(
+            tnn.Conv2d(in_ch + skip_ch, out_ch, 3, padding=1, bias=False),
+            tnn.BatchNorm2d(out_ch),
+            tnn.ReLU(inplace=True),
+        )
+        self.conv2 = tnn.Sequential(
+            tnn.Conv2d(out_ch, out_ch, 3, padding=1, bias=False),
+            tnn.BatchNorm2d(out_ch),
+            tnn.ReLU(inplace=True),
+        )
+
+    def forward(self, x, skip):
+        x = F.interpolate(x, scale_factor=2, mode="nearest")
+        if skip is not None:
+            x = torch.cat([x, skip], dim=1)
+        return self.conv2(self.conv1(x))
+
+
+class TestDecoderInterop:
+    def test_decoder_block_parity(self):
+        torch.manual_seed(6)
+        oracle = TorchDecoderBlock(16, 8, 12).eval()
+        randomize_bn_stats(oracle, seed=7)
+        sd = {f"blocks.0.{k}": v.numpy() for k, v in oracle.state_dict().items()}
+        params, stats = {}, {}
+        C._torch_unet_decoder_to_flax(sd, params, stats)
+
+        model = DecoderBlock(12)
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, 4, 4, 16)).astype(np.float32)
+        skip = rng.normal(size=(2, 8, 8, 8)).astype(np.float32)
+        ours = model.apply(
+            {"params": params["block0"], "batch_stats": stats["block0"]},
+            jnp.asarray(x),
+            jnp.asarray(skip),
+            train=False,
+        )
+        with torch.no_grad():
+            ref = oracle(
+                torch.from_numpy(x).permute(0, 3, 1, 2),
+                torch.from_numpy(skip).permute(0, 3, 1, 2),
+            ).permute(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+class TestOrbaxRoundtrip:
+    def test_ssl_state_roundtrip(self, tmp_path):
+        config = S.SSLConfig(arch="resnet18", scale=2, img_size=32, batch_size=8, amp=False)
+        state = S.create_ssl_state(jax.random.key(0), config)
+        path = C.save_train_state(str(tmp_path), state, epoch=7)
+        assert path.endswith("checkpoint_0007")
+
+        # Perturb, then restore.
+        perturbed = state.replace(
+            params=jax.tree_util.tree_map(lambda x: x + 1.0, state.params),
+            step=state.step + 99,
+        )
+        restored = C.restore_train_state(path, perturbed)
+        assert int(restored.step) == 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored.params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_latest_checkpoint(self, tmp_path):
+        config = S.SSLConfig(arch="resnet18", scale=2, img_size=32, batch_size=8, amp=False)
+        state = S.create_ssl_state(jax.random.key(0), config)
+        C.save_train_state(str(tmp_path), state, epoch=3)
+        C.save_train_state(str(tmp_path), state, epoch=12)
+        latest = C.latest_checkpoint(str(tmp_path))
+        assert latest.endswith("checkpoint_0012")
+        assert C.latest_checkpoint(str(tmp_path / "nope")) is None

@@ -1,0 +1,193 @@
+"""Data layer tests: prepare (tiling + CSV), manifests (fold filters), loader."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from msfwsi_tpu.data import datasets as D
+from msfwsi_tpu.data import loader as L
+from msfwsi_tpu.data import prepare as PR
+
+
+@pytest.fixture(scope="module")
+def bcss_raw(tmp_path_factory):
+    """Synthetic raw BCSS layout: images/ + masks/ with 21-code labels."""
+    root = tmp_path_factory.mktemp("bcss_raw")
+    os.makedirs(root / "images")
+    os.makedirs(root / "masks")
+    rng = np.random.default_rng(0)
+    names = ["TCGA-OL-1", "TCGA-E2-2", "TCGA-XX-3"]
+    for i, name in enumerate(names):
+        h, w = 300 + 37 * i, 280 + 11 * i
+        img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        mask = rng.integers(0, 22, size=(h, w)).astype(np.uint8)
+        Image.fromarray(img).save(root / "images" / f"{name}.png")
+        Image.fromarray(mask).save(root / "masks" / f"{name}.png")
+    return str(root), names
+
+
+@pytest.fixture(scope="module")
+def prepared(bcss_raw, tmp_path_factory):
+    root, names = bcss_raw
+    out = str(tmp_path_factory.mktemp("bcss_prep"))
+    df = PR.prepare_bcss(root, out, tile_size=128, shift=64, workers=0)
+    return out, df, names
+
+
+class TestPrepare:
+    def test_csv_schema(self, prepared):
+        out, df, _ = prepared
+        assert list(df.columns) == PR.CSV_COLUMNS
+        on_disk = pd.read_csv(os.path.join(out, "data.csv"))
+        assert len(on_disk) == len(df)
+
+    def test_shift_variants_present(self, prepared):
+        _, df, _ = prepared
+        fnames = df["filename"].unique().tolist()
+        assert any("_shiftW_64" in f for f in fnames)
+        assert any("_shiftH_64" in f for f in fnames)
+        assert any("_shiftHW_64" in f for f in fnames)
+
+    def test_tiles_written_and_labels_remapped(self, prepared):
+        out, df, _ = prepared
+        row = df.iloc[0]
+        img = np.array(Image.open(os.path.join(out, row["filename_img"])))
+        mask = np.array(Image.open(os.path.join(out, row["filename_mask"])))
+        assert img.shape == (128, 128, 3)
+        assert mask.max() <= 5  # 21 codes collapsed to 5 classes
+        # Unmasked pixels zeroed in the image.
+        assert (img[mask == 0] == 0).all()
+
+    def test_no_empty_tiles(self, prepared):
+        _, df, _ = prepared
+        assert (df["num_masked_pixels"] > 0).all()
+
+    def test_stats_consistent(self, prepared):
+        out, df, _ = prepared
+        row = df.iloc[3]
+        mask = np.array(Image.open(os.path.join(out, row["filename_mask"])))
+        num, ratio, ratios = PR.tile_stats(mask)
+        assert num == row["num_masked_pixels"]
+        assert ratio == pytest.approx(row["ratio_masked_area"])
+        assert ratios[0] == pytest.approx(row["ratio_masked_1_area"])
+
+
+class TestManifests:
+    def test_bcss_fold_split(self, prepared):
+        out, df, _ = prepared
+        # Fold 0 val codes include "OL" and "E2"; "XX" is train-only.
+        train = D.bcss_pretrain_files(out, fold=0, threshold=0.0)
+        assert all("TCGA-OL" not in f and "TCGA-E2" not in f for f in train)
+        assert any("TCGA-XX" in f for f in train)
+
+        val = D.bcss_seg_val_slides(out, fold=0, threshold=0.0)
+        val_names = {g.filename for g in val}
+        assert all(("-OL-" in n) or ("-E2-" in n) for n in val_names)
+        # shift variants excluded from val (bcss.py:136)
+        assert not any("shift" in n for n in val_names)
+
+    def test_threshold_filter(self, prepared):
+        out, df, _ = prepared
+        thr = float(df["ratio_masked_area"].median())
+        files = D.bcss_pretrain_files(out, fold=0, threshold=thr)
+        kept = df[df["filename_img"].isin(files)]
+        assert (kept["ratio_masked_area"] >= thr).all()
+
+    def test_frac_subsample_deterministic(self, prepared):
+        out, _, _ = prepared
+        a = D.bcss_pretrain_files(out, fold=0, threshold=0.0, frac=0.5)
+        b = D.bcss_pretrain_files(out, fold=0, threshold=0.0, frac=0.5)
+        assert a == b  # random_state=1 parity (bcss.py:74)
+        full = D.bcss_pretrain_files(out, fold=0, threshold=0.0, frac=1.0)
+        assert len(a) == round(0.5 * len(full))
+
+    def test_paip_fold_minus_one(self, tmp_path):
+        df = pd.DataFrame(
+            {
+                "filename_img": [f"f{i}/img.png" for i in range(4)],
+                "filename_mask": [f"f{i}/mask.png" for i in range(4)],
+                "filename": ["01_01_0100", "01_01_0101", "01_01_0999", "01_01_0998"],
+                "num_masked_pixels": [10] * 4,
+                "ratio_masked_area": [0.9] * 4,
+            }
+        )
+        df.to_csv(tmp_path / "train_data.csv", index=False)
+        all_files = D.paip_pretrain_files(str(tmp_path), fold=-1, threshold=0.1)
+        assert len(all_files) == 4
+        fold0 = D.paip_pretrain_files(str(tmp_path), fold=0, threshold=0.1)
+        assert len(fold0) == 2  # 0100/0101 are fold-0 val slides
+
+    def test_camelyon_manifest_resample(self, tmp_path):
+        import json
+
+        os.makedirs(tmp_path / "imagesTr" / "slide_a")
+        os.makedirs(tmp_path / "imagesTr" / "slide_b")
+        for s in ("slide_a", "slide_b"):
+            for i in range(6):
+                Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+                    tmp_path / "imagesTr" / s / f"{i}.png"
+                )
+        meta = {"train_ids": ["slide_a", "slide_b"], "val_ids": [], "test_ids": [], "file_ending": ".png"}
+        (tmp_path / "dataset.json").write_text(json.dumps(meta))
+
+        m = D.Camelyon16Manifest(str(tmp_path), n_sample=3, seed=42)
+        e0 = m.resample(0)
+        assert len(e0) == 6  # 3 per slide
+        assert e0 == m.resample(0)  # deterministic per epoch (multi-host safe)
+        assert e0 != m.resample(1)  # varies across epochs
+        per_slide = {}
+        for f in e0:
+            per_slide.setdefault(f.split("/")[1], []).append(f)
+        assert all(len(v) == 3 for v in per_slide.values())
+
+
+class TestLoader:
+    def test_batches_and_shapes(self, prepared):
+        out, df, _ = prepared
+        files = df["filename_img"].tolist()[:10]
+        loader = L.TileBatchLoader(out, files, batch_size=4, seed=0)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 2  # drop_last: 10 // 4
+        assert batches[0].shape == (4, 128, 128, 3)
+        assert str(batches[0].dtype) == "uint8"
+
+    def test_epoch_reshuffles(self, prepared):
+        out, df, _ = prepared
+        files = df["filename_img"].tolist()[:8]
+        loader = L.TileBatchLoader(out, files, batch_size=8, seed=0)
+        b0 = np.asarray(next(iter(loader.epoch(0))))
+        b1 = np.asarray(next(iter(loader.epoch(1))))
+        assert not np.array_equal(b0, b1)
+
+    def test_pair_loading(self, prepared):
+        out, df, _ = prepared
+        recs = list(zip(df["filename_img"], df["filename_mask"]))[:4]
+
+        def load_pair(rec):
+            return (
+                L.load_image(os.path.join(out, rec[0])),
+                L.load_image(os.path.join(out, rec[1])),
+            )
+
+        loader = L.TileBatchLoader(out, recs, batch_size=2, load_fn=load_pair, seed=0)
+        imgs, masks = next(iter(loader.epoch(0)))
+        assert imgs.shape == (2, 128, 128, 3)
+        assert masks.shape == (2, 128, 128)
+
+    def test_slide_arrays(self, prepared):
+        out, _, _ = prepared
+        groups = D.bcss_seg_val_slides(out, fold=0, threshold=0.0)
+        imgs, masks = L.load_slide_arrays(out, groups[0])
+        assert imgs.ndim == 4 and masks.ndim == 3
+        assert imgs.shape[0] == len(groups[0].samples)
+
+    def test_synthetic_library(self):
+        imgs, masks, slides = L.synthetic_tile_library(
+            n_slides=2, tiles_per_slide=3, tile_size=64
+        )
+        assert imgs.shape == (6, 64, 64, 3) and masks.shape == (6, 64, 64)
+        assert imgs.dtype == np.uint8
+        assert masks.max() <= 5
