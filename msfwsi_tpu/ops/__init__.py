@@ -1,1 +1,1 @@
-from . import geometry  # noqa: F401
+from . import augment, geometry, losses, metrics  # noqa: F401

@@ -42,6 +42,7 @@ __all__ = [
     "blur_or_sharpen",
     "hflip",
     "normalize",
+    "denormalize",
     "sample_rrc_boxes",
     "crop_and_resize",
     "random_resized_crop",
@@ -259,6 +260,14 @@ def normalize(img, mean: Sequence[float], std: Sequence[float]):
     return (img - mean) / std
 
 
+def denormalize(img, mean: Sequence[float], std: Sequence[float]):
+    """Inverse of :func:`normalize` (parity with the reference's GPU-side
+    ``Normalize.denormalize``, ``src/utils/utils.py:65-76``)."""
+    mean = jnp.asarray(mean, img.dtype)
+    std = jnp.asarray(std, img.dtype)
+    return img * std + mean
+
+
 # --------------------------------------------------------------------------
 # Spatial ops
 # --------------------------------------------------------------------------
@@ -364,16 +373,52 @@ def crop_and_resize(img, boxes, out_size: int):
     return jax.vmap(one)(img, ylo, yhi, yf, xlo, xhi, xf)
 
 
+def _resize_matrix(start, size, src_len: int, out_len: int, dtype=jnp.float32):
+    """Per-sample (out_len, src_len) 2-tap interpolation matrices.
+
+    Expressing the separable resize as batched matmuls targets the MXU —
+    on TPU this is usually much faster than per-sample gathers, which XLA
+    lowers to serial dynamic-slices.
+    """
+    lo, hi, frac = _axis_resample_indices(start, size, src_len, out_len)
+    s = jnp.arange(src_len)
+    onehot_lo = (s[None, None, :] == lo[:, :, None]).astype(dtype)
+    onehot_hi = (s[None, None, :] == hi[:, :, None]).astype(dtype)
+    frac = frac[:, :, None].astype(dtype)
+    return onehot_lo * (1.0 - frac) + onehot_hi * frac  # (B, out, src)
+
+
+def crop_and_resize_mxu(img, boxes, out_size: int, compute_dtype=jnp.float32):
+    """MXU formulation of :func:`crop_and_resize`: rows then cols as batched
+    2-tap interpolation matmuls. Same math, same sampling indices."""
+    top, left, h, w = boxes
+    B, H, W, C = img.shape
+    Rm = _resize_matrix(top, h, H, out_size, compute_dtype)  # (B, out, H)
+    Cm = _resize_matrix(left, w, W, out_size, compute_dtype)  # (B, out, W)
+    x = img.astype(compute_dtype)
+    rows = jnp.einsum("boh,bhwc->bowc", Rm, x, preferred_element_type=compute_dtype)
+    out = jnp.einsum("btw,bowc->botc", Cm, rows, preferred_element_type=compute_dtype)
+    return out.astype(img.dtype)
+
+
 def random_resized_crop(
     key,
     img,
     out_size: int,
     scale: tuple[float, float] = (0.5, 1.0),
     ratio: tuple[float, float] = (3 / 4, 4 / 3),
+    use_mxu: bool | None = None,
 ):
-    """albu RandomResizedCrop(out, out, scale=scale) (``ssl_train.py:176``)."""
+    """albu RandomResizedCrop(out, out, scale=scale) (``ssl_train.py:176``).
+
+    ``use_mxu`` selects the matmul resampler (default: on for TPU backends,
+    off elsewhere)."""
     B, H, W, _ = img.shape
     boxes = sample_rrc_boxes(key, B, (H, W), scale, ratio)
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+    if use_mxu:
+        return crop_and_resize_mxu(img, boxes, out_size)
     return crop_and_resize(img, boxes, out_size)
 
 

@@ -191,3 +191,29 @@ def make_jitted_finetune_step(config: FinetuneConfig, mesh=None, donate: bool = 
     if donate:
         kwargs["donate_argnums"] = (0,)
     return jax.jit(step, **kwargs)
+
+
+def make_jitted_fused_finetune_step(config: FinetuneConfig, aug_cfg, mesh=None, donate: bool = True):
+    """One jit: seg augmentation (uint8 img+mask -> context/target pairs) +
+    finetune step."""
+    from ..data.pipeline import make_seg_train_views
+
+    lam = float(config.lam)
+    num_fg = len(config.class_names)
+
+    def step(state, imgs_u8, masks_u8, key):
+        (ctx, tgt), (cm, tm) = make_seg_train_views(key, imgs_u8, masks_u8, aug_cfg)
+        batch = {"context": ctx, "target": tgt, "context_mask": cm, "target_mask": tm}
+        return finetune_train_step(state, batch, lam, num_fg)
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (repl, data, data, repl)
+        kwargs["out_shardings"] = (repl, repl)
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    return jax.jit(step, **kwargs)

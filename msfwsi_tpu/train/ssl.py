@@ -202,3 +202,28 @@ def make_jitted_train_step(config: SSLConfig, mesh=None, donate: bool = True):
     if donate:
         kwargs["donate_argnums"] = (0,)
     return jax.jit(step, **kwargs)
+
+
+def make_jitted_fused_step(config: SSLConfig, aug_cfg, mesh=None, donate: bool = True):
+    """One jit: on-device augmentation (uint8 tiles -> 4 views + jigsaw) +
+    train step. Avoids materializing augmented views in HBM between two
+    dispatches and lets XLA overlap aug (VPU) with the encoder (MXU)."""
+    from ..data.pipeline import make_ssl_views
+
+    fuser_weights = tuple(config.fuser_weights)
+
+    def step(state, tiles_u8, key):
+        batch = make_ssl_views(key, tiles_u8, aug_cfg)
+        return ssl_train_step(state, batch, fuser_weights)
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (repl, data, repl)
+        kwargs["out_shardings"] = (repl, repl)
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    return jax.jit(step, **kwargs)

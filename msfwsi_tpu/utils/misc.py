@@ -1,0 +1,129 @@
+"""Run-dir management and meters (parity: ``src/utils/utils.py:10-24``
+increment_path; ``tools/ssl_train.py:502-541`` AverageMeter/ProgressMeter;
+``tools/ssl_finetune.py:614-634`` BestRecorder)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from pathlib import Path
+
+__all__ = [
+    "increment_path",
+    "dump_config",
+    "AverageMeter",
+    "ProgressMeter",
+    "BestRecorder",
+    "cal_mean_and_std",
+]
+
+
+def cal_mean_and_std(image_iter, max_value: float = 255.0):
+    """Dataset channel mean/std in one streaming pass (Welford-style sums) —
+    the statistics helper behind the per-dataset ``--mean/--std`` values in
+    the recipes (parity: ``src/utils/utils.py:26-62``).
+
+    ``image_iter`` yields (H, W, C) uint8/float arrays; returns
+    (mean, std) as length-C float lists scaled to [0, 1].
+    """
+    import numpy as np
+
+    n = 0
+    s1 = None
+    s2 = None
+    for img in image_iter:
+        x = np.asarray(img, dtype=np.float64) / max_value
+        x = x.reshape(-1, x.shape[-1])
+        if s1 is None:
+            s1 = x.sum(axis=0)
+            s2 = (x**2).sum(axis=0)
+        else:
+            s1 += x.sum(axis=0)
+            s2 += (x**2).sum(axis=0)
+        n += x.shape[0]
+    mean = s1 / n
+    std = np.sqrt(s2 / n - mean**2)
+    return mean.tolist(), std.tolist()
+
+
+def increment_path(path, exist_ok: bool = False, sep: str = "", mkdir: bool = False) -> Path:
+    """YOLOv5-style run-dir auto-increment: runs/exp -> runs/exp{sep}2, ..."""
+    path = Path(path)
+    if path.exists() and not exist_ok:
+        suffix = path.suffix
+        path = path.with_suffix("")
+        dirs = glob.glob(f"{path}{sep}*")
+        matches = [re.search(rf"%s{sep}(\d+)" % re.escape(path.stem), d) for d in dirs]
+        i = [int(m.groups()[0]) for m in matches if m]
+        n = max(i) + 1 if i else 2
+        path = Path(f"{path}{sep}{n}{suffix}")
+    if mkdir:
+        path.mkdir(parents=True, exist_ok=True)
+    return path
+
+
+def dump_config(log_dir: str, args) -> None:
+    """Write every flag to configs.txt (``ssl_train.py:55-57``)."""
+    with open(os.path.join(log_dir, "configs.txt"), "w") as f:
+        for key in vars(args):
+            f.write(f"{key}: {getattr(args, key)}\n")
+
+
+class AverageMeter:
+    """Computes and stores the average and current value."""
+
+    def __init__(self, name: str, fmt: str = ":f"):
+        self.name = name
+        self.fmt = fmt
+        self.reset()
+
+    def reset(self):
+        self.val = 0
+        self.avg = 0
+        self.sum = 0
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count
+
+    def __str__(self):
+        fmtstr = "{name} {val" + self.fmt + "} ({avg" + self.fmt + "})"
+        return fmtstr.format(**self.__dict__)
+
+
+class ProgressMeter:
+    def __init__(self, num_batches: int, meters, prefix: str = ""):
+        self.batch_fmtstr = self._fmtstr(num_batches)
+        self.meters = meters
+        self.prefix = prefix
+
+    def display(self, batch: int) -> str:
+        entries = [self.prefix + self.batch_fmtstr.format(batch)]
+        entries += [str(m) for m in self.meters]
+        return "\t".join(entries)
+
+    @staticmethod
+    def _fmtstr(num_batches: int) -> str:
+        num_digits = len(str(num_batches // 1))
+        fmt = "{:" + str(num_digits) + "d}"
+        return "[" + fmt + "/" + fmt.format(num_batches) + "]"
+
+
+class BestRecorder:
+    def __init__(self, mode: str):
+        assert mode in ("min", "max"), "invalid mode!"
+        self.mode = mode
+        self.best = 10000 if mode == "min" else -10000
+
+    def update(self, val):
+        if self.mode == "min":
+            is_best = val < self.best
+            self.best = min(val, self.best)
+        else:
+            is_best = val > self.best
+            self.best = max(val, self.best)
+        return self.best, is_best

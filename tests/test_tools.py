@@ -1,0 +1,124 @@
+"""End-to-end CLI smoke tests: the tools run a real (tiny) workload on the
+virtual CPU mesh — the analog of the reference's --quick-test mode."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_cache"),
+)
+
+
+def run_tool(tool, *args, timeout=900):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", tool), *args],
+        capture_output=True,
+        text=True,
+        env=ENV,
+        cwd=REPO,
+        timeout=timeout,
+    )
+    assert proc.returncode == 0, f"{tool} failed:\n{proc.stdout}\n{proc.stderr}"
+    return proc.stdout + proc.stderr
+
+
+@pytest.mark.slow
+class TestToolSmoke:
+    def test_ssl_train_synthetic(self, tmp_path):
+        out = run_tool(
+            "ssl_train.py",
+            "--synthetic", "8",
+            "--scale", "2",
+            "--img-sz", "32",
+            "--tile-px", "64",
+            "-b", "8",
+            "--epochs", "2",
+            "--save-freq", "1",
+            "-p", "1",
+            "--seed", "0",
+            "--log-dir", str(tmp_path / "run"),
+        )
+        assert "BEST LOSS" in out
+        assert "Model saved at epoch 1" in out
+        run_dir = tmp_path / "run"
+        assert (run_dir / "configs.txt").exists()
+        assert (run_dir / "checkpoint_0001").exists()
+        assert (run_dir / "log.txt").exists()
+
+    def test_ssl_train_resume(self, tmp_path):
+        run_tool(
+            "ssl_train.py",
+            "--synthetic", "8", "--scale", "2", "--img-sz", "32", "--tile-px", "64",
+            "-b", "8", "--epochs", "1", "--save-freq", "1", "--seed", "0",
+            "--log-dir", str(tmp_path / "r"),
+        )
+        out = run_tool(
+            "ssl_train.py",
+            "--synthetic", "8", "--scale", "2", "--img-sz", "32", "--tile-px", "64",
+            "-b", "8", "--epochs", "2", "--save-freq", "1", "--seed", "0",
+            "--log-dir", str(tmp_path / "r2"),
+            "--resume", str(tmp_path / "r" / "checkpoint_0000"),
+        )
+        assert "loaded checkpoint" in out
+
+    def test_finetune_and_evaluate_synthetic(self, tmp_path):
+        out = run_tool(
+            "ssl_finetune.py",
+            "--synthetic", "2",
+            "-b", "4",
+            "--epochs", "1",
+            "--steps-per-epoch", "2",
+            "--val-chunk", "4",
+            "--seg-size", "64",
+            "-p", "1",
+            "--seed", "0",
+            "--data-name", "bcss",
+            "--log-dir", str(tmp_path / "ft"),
+        )
+        assert "MICRO F1" in out
+        assert "Best model saved" in out
+        ckpt = tmp_path / "ft" / "best_ft_model"
+        assert ckpt.exists()
+
+        out = run_tool(
+            "evaluate.py",
+            "--synthetic", "2",
+            "--val-chunk", "4",
+            "--seg-size", "64",
+            "--seed", "0",
+            "--data-name", "bcss",
+            "--weights", str(ckpt),
+            "--log-dir", str(tmp_path / "ev"),
+        )
+        assert "MICRO F1" in out
+        assert "tumor F1" in out
+
+    def test_bcss_prepare_tool(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        os.makedirs(tmp_path / "raw" / "images")
+        os.makedirs(tmp_path / "raw" / "masks")
+        rng = np.random.default_rng(0)
+        Image.fromarray(rng.integers(0, 255, (300, 300, 3), dtype=np.uint8)).save(
+            tmp_path / "raw" / "images" / "TCGA-A1-x.png"
+        )
+        Image.fromarray(rng.integers(0, 22, (300, 300)).astype(np.uint8)).save(
+            tmp_path / "raw" / "masks" / "TCGA-A1-x.png"
+        )
+        run_tool(
+            "bcss_prepare.py",
+            "-p", str(tmp_path / "raw"),
+            "-o", str(tmp_path / "prep"),
+            "-s", "128",
+            "--overlap", "64",
+        )
+        assert (tmp_path / "prep" / "data.csv").exists()

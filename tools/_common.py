@@ -1,0 +1,70 @@
+"""Shared CLI plumbing for the tools (path setup, no-op flag handling)."""
+
+import logging
+import os
+import sys
+
+SCRIPT_DIR = os.path.dirname(os.path.abspath(__file__))
+ROOT_PATH = os.path.split(SCRIPT_DIR)[0]
+if ROOT_PATH not in sys.path:
+    sys.path.insert(0, ROOT_PATH)
+
+# Honor JAX_PLATFORMS even when a platform plugin (e.g. the axon TPU tunnel)
+# overrides it during import — force it through jax.config.
+_requested_platform = os.environ.get("JAX_PLATFORMS")
+if _requested_platform:
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", _requested_platform)
+    except Exception:  # noqa: BLE001
+        pass
+if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# Flags kept for CLI parity with the reference's DDP/CUDA runtime but
+# meaningless under single-process GSPMD JAX; each logs once when set.
+NOOP_FLAGS = {
+    "world_size": "multi-host scale-out uses jax.distributed, not --world-size",
+    "rank": "process rank comes from jax.process_index()",
+    "dist_url": "no TCP rendezvous needed under JAX",
+    "dist_backend": "collectives run over ICI/DCN via XLA, not NCCL",
+    "gpu": "device placement is automatic",
+    "multiprocessing_distributed": "data parallelism is GSPMD (one process per host)",
+    "workers": "host loader uses a thread pool sized independently",
+    "tf32": "TPU matmuls use bf16/fp32; --tf32 has no effect",
+    "bf16": "bf16 is the default compute dtype when --amp is set",
+}
+
+
+def warn_noop_flags(args, parser_defaults):
+    logger = logging.getLogger("MSF-WSI")
+    for flag, why in NOOP_FLAGS.items():
+        if hasattr(args, flag) and getattr(args, flag) != parser_defaults.get(flag):
+            logger.info(f"=> flag --{flag.replace('_', '-')} accepted for parity but inert: {why}")
+
+
+def add_error_capture(log_dir):
+    """Reference behavior: crash tracebacks also go to <log_dir>/error.txt
+    (``ssl_train.py:72-81``)."""
+    import traceback
+
+    def capture(fn):
+        def wrapped(*a, **kw):
+            try:
+                return fn(*a, **kw)
+            except Exception as e:  # noqa: BLE001
+                print(e, "\n")
+                with open(os.path.join(log_dir, "error.txt"), "a") as f:
+                    traceback.print_exc(file=f)
+                    f.write("\n")
+                raise
+
+        return wrapped
+
+    return capture

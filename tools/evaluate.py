@@ -1,0 +1,157 @@
+"""Evaluation CLI — mirrors ``tools/evaluate.py:395-448``: load a fine-tuned
+HookNet checkpoint (Orbax dir or torch ``.pth.tar``), run the per-slide
+validation loop once, log micro + per-class F1/IoU/accuracy."""
+
+import argparse
+import os
+import random
+import sys
+
+import _common  # noqa: F401
+from _common import add_error_capture, warn_noop_flags
+
+
+def main(args):
+    import numpy as np
+
+    from msfwsi_tpu.utils import dump_config, increment_path
+
+    args.log_dir = str(increment_path(args.log_dir, sep="_", mkdir=True))
+    if args.seed is not None:
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+    dump_config(args.log_dir, args)
+    add_error_capture(args.log_dir)(main_worker)(args)
+
+
+def main_worker(args):
+    import jax
+    import numpy as np
+
+    from msfwsi_tpu.data import datasets as D
+    from msfwsi_tpu.data import loader as L
+    from msfwsi_tpu.data.pipeline import AugConfig, make_seg_val_views
+    from msfwsi_tpu.train import checkpoint as C
+    from msfwsi_tpu.train import evaluate as EV
+    from msfwsi_tpu.train import finetune as FT
+    from msfwsi_tpu.utils import setup_logger
+
+    logger = setup_logger(args.log_dir, name="MSF-WSI")
+    logger.info(" ".join([sys.executable, *sys.argv]))
+    warn_noop_flags(args, {a.dest: a.default for a in PARSER._actions})
+
+    class_names = {"bcss": FT.BCSS_CLASSES, "paip": FT.PAIP_CLASSES}[args.data_name]
+    config = FT.FinetuneConfig(
+        arch=args.arch, class_names=tuple(class_names), amp=args.amp,
+        seg_size=args.seg_size,
+        seed=args.seed if args.seed is not None else 0,
+    )
+    logger.info(f"=> creating model '{args.arch}'")
+    state = FT.create_finetune_state(jax.random.key(config.seed), config)
+
+    logger.info(f"=> loading pretrained weights {args.weights}")
+    if os.path.isdir(args.weights):
+        state = C.restore_train_state(args.weights, state)
+    else:
+        variables = C.torch_hooknet_to_flax(C.load_torch_file(args.weights))
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+    logger.info(f"=> loaded pretrained weights {args.weights}")
+
+    aug_cfg = AugConfig(
+        mean=tuple(args.mean), std=tuple(args.std), seg_size=args.seg_size
+    )
+
+    if args.synthetic:
+        imgs, masks, slide_ids = L.synthetic_tile_library(
+            n_slides=2, tiles_per_slide=args.synthetic, tile_size=4 * args.seg_size,
+            num_classes=len(class_names),
+        )
+
+        def iter_slides():
+            for s in np.unique(slide_ids):
+                ids = np.nonzero(slide_ids == s)[0]
+                yield imgs[ids], masks[ids]
+    else:
+        root = args.train_data
+        if args.data_name == "bcss":
+            groups = D.bcss_seg_val_slides(root, fold=args.fold)
+        else:
+            groups = D.paip_seg_val_slides(root, fold=args.fold)
+
+        def iter_slides():
+            for g in groups:
+                yield L.load_slide_arrays(root, g)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    chunk_forward = EV.make_chunk_forward(state.model, chunk=args.val_chunk)
+    scores = EV.SlideScores(class_names)
+    for i, (imgs_s, masks_s) in enumerate(iter_slides()):
+        (ctx, tgt), (_, tmask) = make_seg_val_views(imgs_s, masks_s, aug_cfg)
+        micro, sums = EV.validate_slide(
+            chunk_forward, variables,
+            np.asarray(ctx), np.asarray(tgt), np.asarray(tmask),
+            num_classes=len(class_names), chunk=args.val_chunk,
+        )
+        scores.update(micro, sums)
+        if i % args.print_freq == 0:
+            logger.info(f"Val slide [{i}] f1={micro['f1']:.4f}")
+
+    s = scores.summary()
+    logger.info("=> Best scores:")
+    logger.info(
+        "=======\n"
+        f"MICRO F1: {s['f1_micro']:.4f}\n"
+        f"MICRO IOU: {s['iou_micro']:.4f}\n"
+        f"MICRO ACC: {s['acc_micro']:.4f}\n"
+    )
+    for c in class_names:
+        logger.info(
+            f"{c} F1: {s[f'f1_{c}']:.4f}, IOU: {s[f'iou_{c}']:.4f}, ACC: {s[f'acc_{c}']:.4f}"
+        )
+    return s
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="MSF-WSI/TPU evaluation")
+    parser.add_argument("-a", "--arch", default="resnet18")
+    parser.add_argument("-b", "--batch-size", default=64, type=int)
+    parser.add_argument("-j", "--workers", default=4, type=int)
+    parser.add_argument("-p", "--print-freq", default=50, type=int)
+    parser.add_argument("--world-size", default=-1, type=int)
+    parser.add_argument("--rank", default=-1, type=int)
+    parser.add_argument("--dist-url", default="", type=str)
+    parser.add_argument("--dist-backend", default="nccl", type=str)
+    parser.add_argument("--seed", type=int)
+    parser.add_argument("--gpu", default=None, type=int)
+    parser.add_argument("--multiprocessing-distributed", action="store_true")
+
+    parser.add_argument("--data-name", type=str, default="bcss")
+    parser.add_argument("--train-data", type=str)
+    parser.add_argument("--mean", nargs=3, type=float, default=[0.485, 0.456, 0.406])
+    parser.add_argument("--std", nargs=3, type=float, default=[0.229, 0.224, 0.225])
+    parser.add_argument("--fold", type=int, default=0)
+
+    parser.add_argument("--log-dir", default="./logs/temp", type=str)
+    parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--wandb", action="store_true")
+
+    parser.add_argument("--tf32", action="store_true")
+    parser.add_argument("--amp", action="store_true")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--weights", type=str)
+    parser.add_argument("--frac", type=float, default=1)
+
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--val-chunk", type=int, default=128,
+                        help="tiles per device pass during validation (reference: 128)")
+    parser.add_argument("--seg-size", type=int, default=256,
+                        help="context/target view size (reference: 256)")
+    return parser
+
+
+PARSER = build_parser()
+
+if __name__ == "__main__":
+    main(PARSER.parse_args())

@@ -1,0 +1,285 @@
+"""HookNet fine-tuning CLI — flag surface mirrors the reference
+``tools/ssl_finetune.py:637-692``; loads SSL pretrain checkpoints (Orbax
+dirs or torch ``.pth.tar``) into the branch encoders, trains with Dice loss,
+validates per-slide every epoch, and keeps the best model by val micro-F1.
+"""
+
+import argparse
+import logging
+import os
+import random
+import sys
+import time
+
+import _common  # noqa: F401
+from _common import add_error_capture, warn_noop_flags
+
+
+def main(args):
+    import numpy as np
+
+    from msfwsi_tpu.utils import dump_config, increment_path
+
+    args.log_dir = str(increment_path(args.log_dir, sep="_", mkdir=True))
+    if args.seed is not None:
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+    dump_config(args.log_dir, args)
+    add_error_capture(args.log_dir)(main_worker)(args)
+
+
+def load_pretrain_weights(state, weights_path, logger):
+    """SSL checkpoint (either format) -> branch encoders."""
+    from msfwsi_tpu.train import checkpoint as C
+    from msfwsi_tpu.train import finetune as FT
+
+    if os.path.isdir(weights_path):  # Orbax SSL checkpoint
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            payload = ckptr.restore(os.path.abspath(weights_path))
+        ssl_vars = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+    else:  # torch .pth.tar from the reference
+        sd = C.load_torch_file(weights_path)
+        ssl_vars = C.torch_msfwsi_to_flax(sd)
+    state = FT.load_ssl_encoders(state, ssl_vars)
+    logger.info(f"=> loaded pretrained weights {weights_path} into encoders")
+    return state
+
+
+def main_worker(args):
+    import jax
+    import numpy as np
+
+    from msfwsi_tpu.data import datasets as D
+    from msfwsi_tpu.data import loader as L
+    from msfwsi_tpu.data.pipeline import AugConfig, make_seg_val_views
+    from msfwsi_tpu.parallel import MeshSpec, batch_sharding, make_mesh
+    from msfwsi_tpu.train import checkpoint as C
+    from msfwsi_tpu.train import evaluate as EV
+    from msfwsi_tpu.train import finetune as FT
+    from msfwsi_tpu.utils import AverageMeter, BestRecorder, ProgressMeter, setup_logger
+    from msfwsi_tpu.ops import metrics as M
+
+    logger = setup_logger(args.log_dir, name="MSF-WSI")
+    logger.info(" ".join([sys.executable, *sys.argv]))
+    warn_noop_flags(args, {a.dest: a.default for a in PARSER._actions})
+
+    mesh = make_mesh(MeshSpec())
+    class_names = {"bcss": FT.BCSS_CLASSES, "paip": FT.PAIP_CLASSES}[args.data_name]
+
+    config = FT.FinetuneConfig(
+        arch=args.arch,
+        class_names=tuple(class_names),
+        batch_size=args.batch_size,
+        lr=args.lr,
+        epochs=args.epochs,
+        lam=args.lam,
+        amp=args.amp,
+        seg_size=args.seg_size,
+        seed=args.seed if args.seed is not None else 0,
+    )
+    logger.info(f"=> creating model '{args.arch}' ({config.num_classes} classes incl. bg)")
+    logger.info(f"=> scale lr from {args.lr:.4f} to {config.init_lr:.4f}")
+
+    state = FT.create_finetune_state(jax.random.key(config.seed), config)
+    if args.weights and os.path.exists(args.weights):
+        state = load_pretrain_weights(state, args.weights, logger)
+    elif args.weights:
+        logger.warning("=> Invalid model weights!")
+        sys.exit(1)
+
+    aug_cfg = AugConfig(
+        mean=tuple(args.mean), std=tuple(args.std), seg_size=args.seg_size
+    )
+
+    # ---- data -----------------------------------------------------------
+    if args.synthetic:
+        imgs, masks, slide_ids = L.synthetic_tile_library(
+            n_slides=4, tiles_per_slide=args.synthetic, tile_size=4 * args.seg_size,
+            num_classes=len(class_names),
+        )
+        train_recs = [i for i in range(len(imgs)) if slide_ids[i] % 4 != 0]
+        val_ids = [i for i in range(len(imgs)) if slide_ids[i] % 4 == 0]
+        load_fn = lambda i: (imgs[i], masks[i])
+        root = "<synthetic>"
+        val_groups = [("synthetic_0", val_ids)]
+
+        def iter_val_slides():
+            for name, ids in val_groups:
+                yield imgs[ids], masks[ids]
+    else:
+        root = args.train_data
+        if args.data_name == "bcss":
+            samples = D.bcss_seg_samples(root, fold=args.fold, frac=args.frac)
+            groups = D.bcss_seg_val_slides(root, fold=args.fold)
+        else:
+            samples = D.paip_seg_samples(root, fold=args.fold, frac=args.frac)
+            groups = D.paip_seg_val_slides(root, fold=args.fold)
+        train_recs = [(s.img, s.mask) for s in samples]
+        load_fn = lambda rec: (
+            L.load_image(os.path.join(root, rec[0])),
+            L.load_image(os.path.join(root, rec[1])),
+        )
+
+        def iter_val_slides():
+            for g in groups:
+                yield L.load_slide_arrays(root, g)
+
+    loader = L.TileBatchLoader(
+        root,
+        train_recs,
+        batch_size=args.batch_size,
+        load_fn=load_fn,
+        seed=config.seed,
+        drop_last=False,
+        sharding=None,  # variable last batch; shard inside step via device_put
+    )
+    logger.info(f"=> train tiles: {len(train_recs)}, steps/epoch: {len(loader)}")
+
+    step_fn = FT.make_jitted_fused_finetune_step(config, aug_cfg, donate=False)
+    chunk_forward = EV.make_chunk_forward(state.model, chunk=args.val_chunk)
+    base_key = jax.random.key(config.seed)
+
+    def run_validation(state):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        scores = EV.SlideScores(class_names)
+        for imgs_s, masks_s in iter_val_slides():
+            (ctx, tgt), (_, tmask) = make_seg_val_views(imgs_s, masks_s, aug_cfg)
+            micro, sums = EV.validate_slide(
+                chunk_forward,
+                variables,
+                np.asarray(ctx),
+                np.asarray(tgt),
+                np.asarray(tmask),
+                num_classes=len(class_names),
+                chunk=args.val_chunk,
+            )
+            scores.update(micro, sums)
+        return scores.summary()
+
+    micro_f1 = BestRecorder("max")
+    micro_iou = BestRecorder("max")
+    micro_acc = BestRecorder("max")
+    raw_recorders = {
+        m: {c: BestRecorder("max") for c in class_names} for m in ("f1", "iou", "acc")
+    }
+
+    for epoch in range(args.epochs):
+        start = time.time()
+        losses = AverageMeter("Loss", ":.4f")
+        batch_time = AverageMeter("Time", ":6.3f")
+        progress = ProgressMeter(len(loader), [batch_time, losses], prefix=f"Train epoch: [{epoch}]")
+
+        tps, fps, fns, tns = [], [], [], []
+        end = time.time()
+        for it, (bimgs, bmasks) in enumerate(loader.epoch(epoch)):
+            key = jax.random.fold_in(jax.random.fold_in(base_key, epoch), it)
+            state, metrics = step_fn(state, bimgs, bmasks, key)
+            losses.update(float(metrics["loss"]), int(bimgs.shape[0]))
+            tps.append(np.asarray(metrics["tp"]))
+            fps.append(np.asarray(metrics["fp"]))
+            fns.append(np.asarray(metrics["fn"]))
+            tns.append(np.asarray(metrics["tn"]))
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if it % args.print_freq == 0:
+                logger.info(progress.display(it))
+            if args.steps_per_epoch and it + 1 >= args.steps_per_epoch:
+                break
+
+        train_f1 = float(
+            M.f1_score(
+                np.concatenate(tps), np.concatenate(fps), np.concatenate(fns),
+                np.concatenate(tns), reduction="micro-imagewise",
+            )
+        )
+
+        summary = run_validation(state)
+        best_f1, is_best = micro_f1.update(summary["f1_micro"])
+        best_iou, _ = micro_iou.update(summary["iou_micro"])
+        best_acc, _ = micro_acc.update(summary["acc_micro"])
+        for m in ("f1", "iou", "acc"):
+            for c in class_names:
+                raw_recorders[m][c].update(summary[f"{m}_{c}"])
+
+        if is_best and jax.process_index() == 0:
+            C.save_train_state(args.log_dir, state, epoch, keep_name="best_ft_model")
+            logger.info(f"=> Best model saved at epoch {epoch}!")
+
+        elapsed = (time.time() - start) / 60
+        logger.info(
+            "=======\n"
+            f"TIME: {elapsed:.2f} mins, LOSS: {losses.avg:.4f}\n"
+            f"MICRO F1: {train_f1:.4f}/{summary['f1_micro']:.4f}/{best_f1:.4f}\n"
+            f"MICRO IOU: {summary['iou_micro']:.4f}/{best_iou:.4f}\n"
+            f"MICRO ACC: {summary['acc_micro']:.4f}/{best_acc:.4f}\n"
+            "======="
+        )
+
+    logger.info("=> Best scores:")
+    logger.info(
+        "=======\n"
+        f"MICRO F1: {micro_f1.best:.4f}\n"
+        f"MICRO IOU: {micro_iou.best:.4f}\n"
+        f"MICRO ACC: {micro_acc.best:.4f}\n"
+    )
+    for c in class_names:
+        logger.info(
+            f"{c} F1: {raw_recorders['f1'][c].best:.4f}, "
+            f"IOU: {raw_recorders['iou'][c].best:.4f}, "
+            f"ACC: {raw_recorders['acc'][c].best:.4f}"
+        )
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="MSF-WSI/TPU fine-tuning")
+    parser.add_argument("-a", "--arch", default="resnet18")
+    parser.add_argument("-b", "--batch-size", default=64, type=int)
+    parser.add_argument("-j", "--workers", default=4, type=int)
+    parser.add_argument("-p", "--print-freq", default=50, type=int)
+    parser.add_argument("--epochs", default=50, type=int)
+    parser.add_argument("--lr", default=1e-3, type=float)
+    parser.add_argument("--world-size", default=-1, type=int)
+    parser.add_argument("--rank", default=-1, type=int)
+    parser.add_argument("--dist-url", default="", type=str)
+    parser.add_argument("--dist-backend", default="nccl", type=str)
+    parser.add_argument("--seed", type=int)
+    parser.add_argument("--gpu", default=None, type=int)
+    parser.add_argument("--multiprocessing-distributed", action="store_true")
+
+    parser.add_argument("--data-name", type=str, default="bcss")
+    parser.add_argument("--train-data", type=str)
+    parser.add_argument("--mean", nargs=3, type=float, default=[0.485, 0.456, 0.406])
+    parser.add_argument("--std", nargs=3, type=float, default=[0.229, 0.224, 0.225])
+    parser.add_argument("--fold", type=int, default=0)
+
+    parser.add_argument("--log-dir", default="./logs/temp", type=str)
+    parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--run-group", default=None, type=str)
+    parser.add_argument("--run-tag", nargs="*", default=None, type=str)
+    parser.add_argument("--run-name", default=None, type=str)
+    parser.add_argument("--run-notes", default="MSF-WSI/TPU training", type=str)
+
+    parser.add_argument("--tf32", action="store_true")
+    parser.add_argument("--amp", action="store_true")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--weights", type=str)
+    parser.add_argument("--frac", type=float, default=1)
+    parser.add_argument("--lam", type=float, default=1)
+
+    # TPU-rebuild extras
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--val-chunk", type=int, default=128,
+                        help="tiles per device pass during validation (reference: 128)")
+    parser.add_argument("--steps-per-epoch", type=int, default=0)
+    parser.add_argument("--seg-size", type=int, default=256,
+                        help="context/target view size (reference: 256)")
+    return parser
+
+
+PARSER = build_parser()
+
+if __name__ == "__main__":
+    main(PARSER.parse_args())

@@ -1,0 +1,278 @@
+"""SSL pre-training CLI for MSF-WSI/TPU.
+
+Flag surface mirrors the reference ``tools/ssl_train.py:544-628`` so the
+published recipes (``scripts/{bcss,paip,c16}.sh``) run unchanged; the
+runtime underneath is JAX/GSPMD: one process per host, a ("data","model")
+device mesh, one jit covering on-device augmentation + forward + backward +
+Adam, with gradient/SyncBN collectives inserted by XLA.
+
+Extra flags beyond the reference: ``--synthetic N`` trains on an in-memory
+synthetic tile corpus (smoke testing without data), ``--steps-per-epoch``
+caps epoch length.
+"""
+
+import argparse
+import logging
+import os
+import random
+import sys
+import time
+
+import _common  # noqa: F401  (sys.path setup)
+from _common import add_error_capture, warn_noop_flags
+
+
+def main(args):
+    import numpy as np
+
+    from msfwsi_tpu.utils import dump_config, increment_path, setup_logger
+
+    args.log_dir = str(increment_path(args.log_dir, sep="_", mkdir=True))
+
+    if args.seed is not None:
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+
+    dump_config(args.log_dir, args)
+    add_error_capture(args.log_dir)(main_worker)(args)
+
+
+def main_worker(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msfwsi_tpu.data import datasets as D
+    from msfwsi_tpu.data import loader as L
+    from msfwsi_tpu.data.pipeline import AugConfig
+    from msfwsi_tpu.parallel import MeshSpec, batch_sharding, make_mesh
+    from msfwsi_tpu.train import checkpoint as C
+    from msfwsi_tpu.train import ssl as S
+    from msfwsi_tpu.utils import AverageMeter, ProgressMeter, setup_logger
+
+    logger = setup_logger(args.log_dir, name=args.logger_name)
+    logger.info(" ".join([sys.executable, *sys.argv]))
+    warn_noop_flags(args, {a.dest: a.default for a in PARSER._actions})
+
+    mesh = make_mesh(MeshSpec())
+    n_dev = mesh.devices.size
+    logger.info(f"=> mesh: {n_dev} device(s) on axis 'data' ({jax.devices()[0].platform})")
+
+    if args.amp:
+        logger.info("=> bf16 mixed precision enabled (no GradScaler needed on TPU)")
+
+    config = S.SSLConfig(
+        arch=args.arch,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        epochs=args.epochs,
+        dim=args.dim,
+        pred_dim=args.pred_dim,
+        mask_ratio=args.mask_ratio,
+        scale=args.scale,
+        ms_lr=tuple(args.ms_lr),
+        fuser_weights=tuple(args.fuser_weights),
+        seed=args.seed if args.seed is not None else 0,
+        img_size=args.img_sz,
+        amp=args.amp,
+        use_ac=args.use_ac,
+    )
+    logger.info(f"=> creating model '{args.arch}' (scale={args.scale}, K={config.scale**2})")
+    logger.info(f"=> use init_lr of {config.init_lr:.4f} (sqrt-batch scaling)")
+
+    aug_cfg = AugConfig(
+        mean=tuple(args.mean),
+        std=tuple(args.std),
+        img_size=args.img_sz,
+        grid=args.scale,
+        tile_px=args.tile_px,
+    )
+
+    # ---- data -----------------------------------------------------------
+    camelyon = None
+    if args.synthetic:
+        tile_px = aug_cfg.tile_px * args.scale
+        imgs, _, _ = L.synthetic_tile_library(
+            n_slides=1, tiles_per_slide=args.synthetic, tile_size=tile_px
+        )
+        files = list(range(len(imgs)))
+        load_fn = lambda i: imgs[i]
+        root = "<synthetic>"
+    elif args.data_name == "bcss":
+        files = D.bcss_pretrain_files(args.data, fold=args.fold)
+        load_fn = None
+        root = args.data
+    elif args.data_name == "paip":
+        files = D.paip_pretrain_files(args.data, fold=args.fold)
+        load_fn = None
+        root = args.data
+    elif args.data_name == "camelyon16":
+        camelyon = D.Camelyon16Manifest(
+            args.data, mode="train", seed=config.seed
+        )
+        files = camelyon.resample(0)
+        load_fn = None
+        root = args.data
+    else:
+        logger.error("Unsupported dataset!")
+        sys.exit(1)
+
+    if args.quick_test:
+        files = files[:7680]
+
+    loader = L.TileBatchLoader(
+        root,
+        files,
+        batch_size=args.batch_size,
+        load_fn=load_fn,
+        seed=config.seed,
+        sharding=batch_sharding(mesh),
+    )
+    logger.info(f"=> Size of data: {len(files)}, steps per epoch: {len(loader)}")
+
+    # ---- state ----------------------------------------------------------
+    state = S.create_ssl_state(jax.random.key(config.seed), config)
+    start_epoch = args.start_epoch
+    if args.resume:
+        if os.path.exists(args.resume):
+            logger.info(f"=> loading checkpoint '{args.resume}'")
+            state = C.restore_train_state(args.resume, state)
+            start_epoch = int(state.step) // max(1, len(loader))
+            logger.info(f"=> loaded checkpoint (step {int(state.step)}, epoch {start_epoch})")
+        else:
+            logger.info(f"=> no checkpoint found at '{args.resume}'")
+
+    step_fn = S.make_jitted_fused_step(config, aug_cfg, mesh=mesh)
+    base_key = jax.random.key(config.seed)
+
+    tb_writer = None
+    if args.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            from msfwsi_tpu.utils import increment_path
+
+            tb_writer = SummaryWriter(
+                str(increment_path(f"{args.log_dir}/tb_log/exp", sep="_", mkdir=True))
+            )
+            logger.info("Initialise tensorboard logger successfully!")
+        except Exception as e:  # noqa: BLE001
+            logger.info(f"=> tensorboard unavailable: {e}")
+
+    best_loss = 255.0
+    for epoch in range(start_epoch, args.epochs):
+        start = time.time()
+        batch_time = AverageMeter("Time", ":6.3f")
+        data_time = AverageMeter("Data", ":6.3f")
+        progress = ProgressMeter(len(loader), [batch_time, data_time], prefix=f"Epoch: [{epoch}]")
+        logger.info(f"=> begin epoch {epoch}")
+
+        pending = []  # device-side loss scalars; fetched off the hot path
+        n_steps = 0
+        end = time.time()
+        for it, tiles in enumerate(loader.epoch(epoch)):
+            data_time.update(time.time() - end)
+            key = jax.random.fold_in(jax.random.fold_in(base_key, epoch), it)
+            state, metrics = step_fn(state, tiles, key)
+            pending.append(metrics["loss"])
+            n_steps += 1
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if it % args.print_freq == 0:
+                logger.info(progress.display(it))
+            if args.steps_per_epoch and n_steps >= args.steps_per_epoch:
+                break
+
+        losses = [float(x) for x in pending]
+        loss = float(np.mean(losses)) if losses else float("nan")
+        is_best = loss <= best_loss
+        best_loss = min(loss, best_loss)
+
+        if camelyon is not None:
+            loader.files = camelyon.resample(epoch + 1)
+            logger.info("=> reset dataset for next epoch!")
+
+        if tb_writer is not None:
+            tb_writer.add_scalar("train/loss", loss, epoch)
+
+        if jax.process_index() == 0 and (epoch + 1) % args.save_freq == 0:
+            C.save_train_state(args.log_dir, state, epoch)
+            logger.info(f"=> Model saved at epoch {epoch}!")
+
+        elapsed = (time.time() - start) / 60
+        logger.info(
+            f"======= TIME: {elapsed:.2f} mins, BEST LOSS: {loss:.4f}/{best_loss:.4f} ======="
+        )
+
+    if tb_writer is not None:
+        tb_writer.close()
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="MSF-WSI pre-training")
+    parser.add_argument("-a", "--arch", default="resnet18")
+    parser.add_argument("-b", "--batch-size", default=32, type=int)
+    parser.add_argument("-j", "--workers", default=8, type=int)
+    parser.add_argument("-p", "--print-freq", default=50, type=int)
+    parser.add_argument("--lr", "--learning-rate", default=1e-3, type=float)
+    parser.add_argument("--wd", "--weight-decay", default=1e-2, type=float,
+                        help="parsed but unused, as in the reference (ssl_train.py:551,309)")
+    parser.add_argument("--epochs", default=300, type=int)
+    parser.add_argument("--start-epoch", default=0, type=int)
+    parser.add_argument("--resume", default="", type=str)
+    parser.add_argument("--world-size", default=-1, type=int)
+    parser.add_argument("--rank", default=-1, type=int)
+    parser.add_argument("--dist-url", default="", type=str)
+    parser.add_argument("--dist-backend", default="nccl", type=str)
+    parser.add_argument("--seed", default=3407, type=int)
+    parser.add_argument("--gpu", default=None, type=int)
+    parser.add_argument("--multiprocessing-distributed", action="store_true")
+
+    # simsiam specific configs:
+    parser.add_argument("--dim", default=2048, type=int)
+    parser.add_argument("--pred-dim", default=512, type=int)
+
+    # Data settings
+    parser.add_argument("--data-name", type=str)
+    parser.add_argument("--data", metavar="DIR", help="path to dataset")
+    parser.add_argument("--mean", nargs=3, type=float, default=[0.485, 0.456, 0.406])
+    parser.add_argument("--std", nargs=3, type=float, default=[0.229, 0.224, 0.225])
+    parser.add_argument("-i", "--img-sz", type=int, default=224)
+    parser.add_argument("--fold", type=int, default=0)
+
+    # Log setting
+    parser.add_argument("--logger-name", default="MSF-WSI", type=str)
+    parser.add_argument("--log-dir", default="./logs/temp", type=str)
+    parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--run-group", default=None, type=str)
+    parser.add_argument("--run-tag", nargs="*", default=None, type=str)
+    parser.add_argument("--run-name", default=None, type=str)
+    parser.add_argument("--run-notes", default="MSF-WSI/TPU training", type=str)
+
+    # MSF-WSI specific configs:
+    parser.add_argument("--quick-test", action="store_true")
+    parser.add_argument("--save-freq", default=50, type=int)
+    parser.add_argument("--mask_ratio", type=int, default=50)
+    parser.add_argument("--tf32", action="store_true")
+    parser.add_argument("--amp", action="store_true")
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--use-ac", action="store_true")
+    parser.add_argument("--ms_lr", nargs=3, type=float, default=[1.0, 1.0, 1.0])
+    parser.add_argument("--scale", type=int, default=4)
+    parser.add_argument("--fuser_weights", nargs=4, type=float, default=[0.1, 0.4, 0.7, 1.0])
+
+    # TPU-rebuild extras (not in the reference)
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="train on N in-memory synthetic tiles (smoke mode)")
+    parser.add_argument("--steps-per-epoch", type=int, default=0,
+                        help="cap steps per epoch (0 = full epoch)")
+    parser.add_argument("--tile-px", type=int, default=256,
+                        help="target sub-tile size before per-tile RRC (reference: 256)")
+    return parser
+
+
+PARSER = build_parser()
+
+if __name__ == "__main__":
+    main(PARSER.parse_args())
