@@ -97,9 +97,18 @@ def _hsv_to_rgb(hsv):
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    # Pure elementwise selects (VPU-fusable — jnp.choose lowers to a gather,
+    # which serializes on TPU).
+    def pick(c0, c1, c2, c3, c4, c5):
+        out = c5
+        for idx, c in zip((4, 3, 2, 1, 0), (c4, c3, c2, c1, c0)):
+            out = jnp.where(i == idx, c, out)
+        return out
+
+    r = pick(v, q, p, p, t, v)
+    g = pick(t, v, v, q, p, p)
+    b = pick(p, p, t, v, v, q)
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -145,18 +154,19 @@ def color_jitter(key, img, cfg: ColorJitterConfig = ColorJitterConfig()):
 
     ops = [op_brightness, op_contrast, op_saturation, op_hue]
     # Per-sample random order: 4 rounds; in round r sample i applies op
-    # perm[i, r]. Each op is computed batch-wide and selected per sample —
-    # cheap elementwise VPU work that XLA fuses.
+    # perm[i, r]. Candidates are combined with chained jnp.where (pure
+    # elementwise, one fused VPU kernel per round) — never stack+gather,
+    # which lowers to a serializing TPU gather.
     perm = jax.vmap(lambda k: jax.random.permutation(k, 4))(
         jax.random.split(k_ord, B)
     )  # (B, 4)
     out = img
     for r in range(4):
-        which = perm[:, r]  # (B,)
-        candidates = jnp.stack([op(out) for op in ops], axis=0)  # (4, B, H, W, C)
-        out = jnp.take_along_axis(
-            candidates, which[None, :, None, None, None], axis=0
-        )[0]
+        which = perm[:, r][:, None, None, None]  # (B,1,1,1)
+        sel = ops[3](out)
+        for idx in (2, 1, 0):
+            sel = jnp.where(which == idx, ops[idx](out), sel)
+        out = sel
     apply = jax.random.uniform(k_apply, (B, 1, 1, 1)) < cfg.p
     return jnp.where(apply, out, img)
 
