@@ -1,14 +1,22 @@
-"""MSF-WSI/TPU headline benchmark: SSL pretrain throughput on real hardware.
+"""MSF-WSI/TPU headline benchmark: end-to-end SSL pretrain throughput.
 
-Measures the full jitted train step (forward + backward + Adam + BN update)
-of the flagship dual-branch MSFWSI model on synthetic device-resident data,
-and reports **224px tile views processed per second per chip** — each sample
-contributes 2 context views + 2*K target tile views (K = scale^2 = 16), i.e.
-34 encoder images, matching the reference's per-sample device work
-(``tools/ssl_train.py:425-474``).
+Measures the full fused jitted pipeline on real hardware — raw uint8 WSI
+tiles -> on-device augmentation (2 context views, 2x16 jigsaw target views)
+-> dual-branch forward + backward + Adam + BN update — and reports **224px
+tile views processed per second per chip**: each sample contributes
+2 context + 2*K target views (K = scale^2 = 16), i.e. 34 encoder images,
+matching the reference's per-sample device work (``tools/ssl_train.py:425-474``
++ the per-sample albumentations pipelines it runs on CPU).
 
 Baseline (`vs_baseline`): the north-star target of 5,000 tiles/sec/chip
 (BASELINE.md — the reference repo publishes no numbers of its own).
+
+Steps are dispatched back-to-back and synced once at the end via a scalar
+loss read (a full device->host fetch is pathologically slow through the
+axon tunnel and block_until_ready alone under-synchronizes).
+
+Env knobs: BENCH_ARCH, BENCH_BATCH, BENCH_ITERS, BENCH_WARMUP,
+BENCH_MODE=pipeline|step (step = train step only on pre-built views).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N}
@@ -24,57 +32,63 @@ BASELINE_TILES_PER_SEC = 5000.0
 
 def main():
     arch = os.environ.get("BENCH_ARCH", "resnet18")
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    mode = os.environ.get("BENCH_MODE", "pipeline")
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from msfwsi_tpu.data.pipeline import AugConfig
     from msfwsi_tpu.train import ssl as S
 
     config = S.SSLConfig(arch=arch, scale=4, img_size=224, batch_size=batch, amp=True)
     K = config.scale**2
-
-    rng = np.random.default_rng(0)
-    rev = np.stack([rng.permutation(K) for _ in range(batch)])
-    Sz = config.img_size
-    batch_data = {
-        "context1": jnp.asarray(rng.normal(size=(batch, Sz, Sz, 3)), jnp.float32),
-        "context2": jnp.asarray(rng.normal(size=(batch, Sz, Sz, 3)), jnp.float32),
-        "target1": jnp.asarray(rng.normal(size=(batch * K, Sz, Sz, 3)), jnp.float32),
-        "target2": jnp.asarray(rng.normal(size=(batch * K, Sz, Sz, 3)), jnp.float32),
-        "rev1": jnp.asarray(np.argsort(rev, axis=1)),
-        "rev2": jnp.asarray(np.argsort(rev, axis=1)),
-    }
-
     state = S.create_ssl_state(jax.random.key(0), config)
-    step = S.make_jitted_train_step(config, donate=False)
+    rng = np.random.default_rng(0)
 
-    for _ in range(warmup):
-        state, metrics = step(state, batch_data)
-    # Force a host read: on some backends (axon tunnel) block_until_ready
-    # can return while the pipeline is still one step deep; a scalar
-    # device->host transfer is a true sync point.
-    float(metrics["loss"])
+    if mode == "pipeline":
+        aug_cfg = AugConfig(compute_dtype="bfloat16")
+        src = config.scale * aug_cfg.tile_px  # 1024px source tiles
+        tiles = jnp.asarray(
+            rng.integers(0, 255, size=(batch, src, src, 3), dtype=np.uint8)
+        )
+        step = S.make_jitted_fused_step(config, aug_cfg, donate=True)
+        run = lambda i, st: step(st, tiles, jax.random.fold_in(jax.random.key(1), i))
+    else:
+        Sz = config.img_size
+        rev = np.stack([rng.permutation(K) for _ in range(batch)])
+        batch_data = {
+            "context1": jnp.asarray(rng.normal(size=(batch, Sz, Sz, 3)), jnp.float32),
+            "context2": jnp.asarray(rng.normal(size=(batch, Sz, Sz, 3)), jnp.float32),
+            "target1": jnp.asarray(rng.normal(size=(batch * K, Sz, Sz, 3)), jnp.float32),
+            "target2": jnp.asarray(rng.normal(size=(batch * K, Sz, Sz, 3)), jnp.float32),
+            "rev1": jnp.asarray(np.argsort(rev, axis=1)),
+            "rev2": jnp.asarray(np.argsort(rev, axis=1)),
+        }
+        tstep = S.make_jitted_train_step(config, donate=True)
+        run = lambda i, st: tstep(st, batch_data)
+
+    for i in range(warmup):
+        state, metrics = run(i, state)
+    float(metrics["loss"])  # true sync point
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch_data)
+    for i in range(iters):
+        state, metrics = run(warmup + i, state)
     final_loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
     assert final_loss == final_loss, "NaN loss in benchmark"
 
     n_chips = jax.device_count()
-    samples_per_sec = batch * iters / dt
-    tiles_per_sec = samples_per_sec * (2 + 2 * K)  # context + target views
-    tiles_per_sec_chip = tiles_per_sec / n_chips
+    tiles_per_sec_chip = batch * iters * (2 + 2 * K) / dt / n_chips
 
     print(
         json.dumps(
             {
-                "metric": f"ssl_pretrain_tile_views_per_sec_per_chip[{arch},b{batch},scale4,224px]",
+                "metric": f"ssl_pretrain_e2e_tile_views_per_sec_per_chip[{arch},b{batch},scale4,224px,{mode}]",
                 "value": round(tiles_per_sec_chip, 2),
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(tiles_per_sec_chip / BASELINE_TILES_PER_SEC, 4),

@@ -48,12 +48,20 @@ class AugConfig:
     tile_px: int = 256  # sub-tile size pre-RRC (hardcoded in reference)
     seg_size: int = 256  # finetune/eval output size
     rrc_scale: tuple[float, float] = (0.5, 1.0)
+    # Augmentation compute dtype. bf16 halves the HBM traffic of the
+    # full-resolution color ops — augmentation noise dwarfs bf16 rounding.
+    # f32 default keeps unit tests bit-comparable with torch oracles.
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
 
-def _to_float(img):
+def _to_float(img, dtype=jnp.float32):
     if img.dtype == jnp.uint8:
-        return img.astype(jnp.float32) / 255.0
-    return img.astype(jnp.float32)
+        return img.astype(dtype) / 255.0
+    return img.astype(dtype)
 
 
 def _context_view(key, x, cfg: AugConfig):
@@ -81,13 +89,19 @@ def _target_view(key, x, cfg: AugConfig):
     t = A.blur_or_sharpen(k[2], t)
 
     tiles = batched_blockshaped(t, cfg.tile_px, cfg.tile_px)  # (B, K, s, s, 3)
-    perm = jax.vmap(lambda kk: jax.random.permutation(kk, K))(jax.random.split(k[3], B))
-    shuffled = jnp.take_along_axis(tiles, perm[:, :, None, None, None], axis=1)
-    flat = shuffled.reshape(B * K, cfg.tile_px, cfg.tile_px, 3)
+    flat = tiles.reshape(B * K, cfg.tile_px, cfg.tile_px, 3)
 
     v = A.random_resized_crop(k[4], flat, cfg.img_size, scale=cfg.rrc_scale)
     v = A.hflip(k[5], v)
     v = A.normalize(v, cfg.mean, cfg.std)
+
+    # Jigsaw-shuffle *after* the per-tile aug (iid per tile, so the
+    # distribution is identical to the reference's shuffle-then-aug order,
+    # bcss.py:171-178) — the gather moves 224^2 views instead of 256^2 tiles.
+    perm = jax.vmap(lambda kk: jax.random.permutation(kk, K))(jax.random.split(k[3], B))
+    v = v.reshape(B, K, cfg.img_size, cfg.img_size, 3)
+    v = jnp.take_along_axis(v, perm[:, :, None, None, None], axis=1)
+    v = v.reshape(B * K, cfg.img_size, cfg.img_size, 3)
     return v, jnp.argsort(perm, axis=1)
 
 
@@ -98,7 +112,7 @@ def make_ssl_views(key, tiles_u8, cfg: AugConfig = AugConfig()):
     flattened target view stacks (B*K, s, s, 3), two (B, K) inverse jigsaw
     permutations.
     """
-    x = _to_float(tiles_u8)
+    x = _to_float(tiles_u8, cfg.dtype)
     kc1, kc2, kt1, kt2 = jax.random.split(key, 4)
     ctx1 = _context_view(kc1, x, cfg)
     ctx2 = _context_view(kc2, x, cfg)
@@ -117,7 +131,7 @@ def make_ssl_views(key, tiles_u8, cfg: AugConfig = AugConfig()):
 def make_seg_train_views(key, imgs_u8, masks, cfg: AugConfig = AugConfig()):
     """Finetune train batch: ((context, target) images, (context, target)
     masks), all (B, 256, 256, ...)."""
-    x = _to_float(imgs_u8)
+    x = _to_float(imgs_u8, cfg.dtype)
     k_cj, k_flip = jax.random.split(key)
     x = A.color_jitter(k_cj, x)
     B = x.shape[0]
@@ -139,7 +153,7 @@ def make_seg_train_views(key, imgs_u8, masks, cfg: AugConfig = AugConfig()):
 def make_seg_val_views(imgs_u8, masks, cfg: AugConfig = AugConfig()):
     """Eval batch: deterministic Resize(256) context + CenterCrop(256) target
     (``evaluate.py:151-178``)."""
-    x = _to_float(imgs_u8)
+    x = _to_float(imgs_u8, cfg.dtype)
     ctx = A.normalize(A.resize_bilinear(x, cfg.seg_size), cfg.mean, cfg.std)
     ctx_mask = A.resize_nearest(masks[..., None], cfg.seg_size)[..., 0]
     tgt = A.normalize(A.center_crop(x, cfg.seg_size), cfg.mean, cfg.std)

@@ -62,7 +62,7 @@ _GRAY_WEIGHTS = jnp.asarray([0.299, 0.587, 0.114])
 
 
 def rgb_to_grayscale(img, keepdims: bool = True):
-    g = jnp.tensordot(img, _GRAY_WEIGHTS, axes=[[-1], [0]])
+    g = jnp.tensordot(img, _GRAY_WEIGHTS.astype(img.dtype), axes=[[-1], [0]])
     return g[..., None] if keepdims else g
 
 
@@ -125,23 +125,26 @@ def color_jitter(key, img, cfg: ColorJitterConfig = ColorJitterConfig()):
     """Per-sample ColorJitter in random op order, applied with prob ``cfg.p``
     (``ssl_train.py:177``: ColorJitter(0.4,0.4,0.4,0.1, p=0.8))."""
     B = img.shape[0]
+    dt = img.dtype
     k_apply, k_b, k_c, k_s, k_h, k_ord = jax.random.split(key, 6)
     fb = jax.random.uniform(
         k_b, (B, 1, 1, 1), minval=max(0.0, 1 - cfg.brightness), maxval=1 + cfg.brightness
-    )
+    ).astype(dt)
     fc = jax.random.uniform(
         k_c, (B, 1, 1, 1), minval=max(0.0, 1 - cfg.contrast), maxval=1 + cfg.contrast
-    )
+    ).astype(dt)
     fs = jax.random.uniform(
         k_s, (B, 1, 1, 1), minval=max(0.0, 1 - cfg.saturation), maxval=1 + cfg.saturation
-    )
-    fh = jax.random.uniform(k_h, (B, 1, 1), minval=-cfg.hue, maxval=cfg.hue)
+    ).astype(dt)
+    fh = jax.random.uniform(k_h, (B, 1, 1), minval=-cfg.hue, maxval=cfg.hue).astype(dt)
 
     def op_brightness(x):
         return jnp.clip(x * fb, 0.0, 1.0)
 
     def op_contrast(x):
-        mean = jnp.mean(rgb_to_grayscale(x), axis=(1, 2, 3), keepdims=True)
+        mean = jnp.mean(
+            rgb_to_grayscale(x), axis=(1, 2, 3), keepdims=True, dtype=jnp.float32
+        ).astype(x.dtype)
         return _blend(x, mean, fc)
 
     def op_saturation(x):
@@ -207,7 +210,7 @@ def gaussian_blur(key, img, blur_limit=(19, 23), sigma_limit=(0.1, 2.0)):
     kern = jnp.exp(-0.5 * (taps[None, :] / sigma[:, None]) ** 2)  # (B, kmax)
     mask = jnp.abs(taps[None, :]) <= (ksize[:, None] // 2)
     kern = jnp.where(mask, kern, 0.0)
-    kern = kern / jnp.sum(kern, axis=1, keepdims=True)
+    kern = (kern / jnp.sum(kern, axis=1, keepdims=True)).astype(img.dtype)
 
     padded = _reflect_pad_hw(img, half)
 
@@ -232,7 +235,7 @@ def sharpen(key, img, alpha=(0.2, 0.5), lightness=(0.5, 1.0)):
     ident = jnp.zeros((3, 3)).at[1, 1].set(1.0)
     effect = jnp.full((3, 3), -1.0)
     effect = jnp.broadcast_to(effect, (B, 3, 3)).at[:, 1, 1].set(8.0 + li[:, 0, 0])
-    kern = (1.0 - a) * ident[None] + a * effect  # (B, 3, 3)
+    kern = ((1.0 - a) * ident[None] + a * effect).astype(img.dtype)  # (B, 3, 3)
 
     padded = _reflect_pad_hw(img, 1)
     out = jnp.zeros((B, H, W, C), img.dtype)
@@ -371,6 +374,9 @@ def crop_and_resize(img, boxes, out_size: int):
     ylo, yhi, yf = _axis_resample_indices(top, h, H, out_size)
     xlo, xhi, xf = _axis_resample_indices(left, w, W, out_size)
 
+    yf = yf.astype(img.dtype)
+    xf = xf.astype(img.dtype)
+
     def one(im, ylo, yhi, yf, xlo, xhi, xf):
         rows = jnp.take(im, ylo, axis=0) * (1.0 - yf[:, None, None]) + jnp.take(
             im, yhi, axis=0
@@ -398,9 +404,12 @@ def _resize_matrix(start, size, src_len: int, out_len: int, dtype=jnp.float32):
     return onehot_lo * (1.0 - frac) + onehot_hi * frac  # (B, out, src)
 
 
-def crop_and_resize_mxu(img, boxes, out_size: int, compute_dtype=jnp.float32):
+def crop_and_resize_mxu(img, boxes, out_size: int, compute_dtype=None):
     """MXU formulation of :func:`crop_and_resize`: rows then cols as batched
-    2-tap interpolation matmuls. Same math, same sampling indices."""
+    2-tap interpolation matmuls. Same math, same sampling indices.
+    ``compute_dtype`` defaults to the image dtype (f32 images stay exact)."""
+    if compute_dtype is None:
+        compute_dtype = img.dtype
     top, left, h, w = boxes
     B, H, W, C = img.shape
     Rm = _resize_matrix(top, h, H, out_size, compute_dtype)  # (B, out, H)
