@@ -128,14 +128,25 @@ class TileBatchLoader:
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
+        multihost = jax.process_count() > 1
         while True:
             item = q.get()
             if item is stop:
                 break
             if self.sharding is not None:
-                item = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, self.sharding), item
-                )
+                if multihost:
+                    # Each host holds only its shard of the global batch —
+                    # assemble the logical global array from local data.
+                    item = jax.tree_util.tree_map(
+                        lambda x: jax.make_array_from_process_local_data(
+                            self.sharding, x
+                        ),
+                        item,
+                    )
+                else:
+                    item = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, self.sharding), item
+                    )
             else:
                 item = jax.tree_util.tree_map(jax.device_put, item)
             yield item

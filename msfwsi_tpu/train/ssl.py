@@ -204,6 +204,24 @@ def make_jitted_train_step(config: SSLConfig, mesh=None, donate: bool = True):
     return jax.jit(step, **kwargs)
 
 
+def load_imagenet_encoders(state: SSLTrainState, torch_state_dict: dict) -> SSLTrainState:
+    """Initialize both branch encoders from a torchvision ImageNet ResNet
+    checkpoint — the reference's ``base_encoder(pretrained=True)``
+    (``backbone.py:58-63``; it downloads from torch.hub, here the file is
+    supplied locally). Heads/projectors keep their random init."""
+    from .checkpoint import torch_resnet_to_flax
+
+    enc_params, enc_stats = torch_resnet_to_flax(torch_state_dict, include_fc=False)
+    params = dict(state.params)
+    stats = dict(state.batch_stats)
+    for enc in ("context_encoder", "target_encoder"):
+        params[enc] = enc_params
+        stats[enc] = enc_stats
+    return state.replace(
+        params=params, batch_stats=stats, opt_state=state.tx.init(params)
+    )
+
+
 def make_jitted_fused_step(config: SSLConfig, aug_cfg, mesh=None, donate: bool = True):
     """One jit: on-device augmentation (uint8 tiles -> 4 views + jigsaw) +
     train step. Avoids materializing augmented views in HBM between two

@@ -217,6 +217,53 @@ class TestDecoderInterop:
         np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
 
 
+class TestReferenceCheckpointFormat:
+    def test_msfwsi_pth_tar_to_finetune_surgery(self, tmp_path):
+        """Full consume path for a reference-format SSL checkpoint:
+        torch.save({'state_dict': DDP 'module.'-prefixed MSFWSI}) ->
+        torch_msfwsi_to_flax -> HookNet encoder surgery — with forward
+        parity of the grafted encoder against the torch oracle."""
+        from msfwsi_tpu.train import finetune as FT
+
+        torch.manual_seed(10)
+        ctx_enc = TorchResNet18().eval()
+        tgt_enc = TorchResNet18().eval()
+        randomize_bn_stats(ctx_enc, seed=11)
+        randomize_bn_stats(tgt_enc, seed=12)
+
+        sd = {}
+        for prefix, mod in (("context_encoder", ctx_enc), ("target_encoder", tgt_enc)):
+            for k, v in mod.state_dict().items():
+                sd[f"module.{prefix}.{k}"] = v
+        # a projector, as real checkpoints carry them (ignored by surgery)
+        proj = torch.nn.Sequential(
+            torch.nn.Linear(64, 64, bias=False), torch.nn.BatchNorm1d(64), torch.nn.ReLU(),
+            torch.nn.Linear(64, 64, bias=False), torch.nn.BatchNorm1d(64), torch.nn.ReLU(),
+            torch.nn.Linear(64, 64, bias=False), torch.nn.BatchNorm1d(64, affine=False),
+        )
+        for k, v in proj.state_dict().items():
+            sd[f"module.context_projector.0.{k}"] = v
+
+        path = tmp_path / "checkpoint_0099.pth.tar"
+        torch.save({"epoch": 100, "arch": "resnet18", "state_dict": sd}, path)
+
+        ssl_vars = C.torch_msfwsi_to_flax(C.load_torch_file(str(path)))
+        config = FT.FinetuneConfig(arch="resnet18", class_names=("a", "b"), amp=False, seg_size=64)
+        state = FT.create_finetune_state(jax.random.key(0), config, local_batch=1)
+        state = FT.load_ssl_encoders(state, ssl_vars)
+
+        # Grafted context encoder forward == torch oracle forward.
+        x = np.random.default_rng(5).normal(size=(2, 64, 64, 3)).astype(np.float32)
+        enc = state.model.bind(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        ).context_branch.encoder
+        ours = jax.jit(lambda xx: enc(xx, train=False, features="pooled"))(jnp.asarray(x))
+        with torch.no_grad():
+            ref = ctx_enc(torch.from_numpy(x).permute(0, 3, 1, 2))
+        for a, b in zip(ours, ref):
+            np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=1e-3, atol=1e-4)
+
+
 class TestOrbaxRoundtrip:
     def test_ssl_state_roundtrip(self, tmp_path):
         config = S.SSLConfig(arch="resnet18", scale=2, img_size=32, batch_size=8, amp=False)

@@ -89,6 +89,38 @@ def main_worker(args):
         logger.warning("=> Invalid model weights!")
         sys.exit(1)
 
+    tb_writer = None
+    if args.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            from msfwsi_tpu.utils import increment_path
+
+            tb_writer = SummaryWriter(
+                str(increment_path(f"{args.log_dir}/tb_log/exp", sep="_", mkdir=True))
+            )
+            logger.info("Initialise tensorboard logger successfully!")
+        except Exception as e:  # noqa: BLE001
+            logger.info(f"=> tensorboard unavailable: {e}")
+    wandb_run = None
+    if args.wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project="DSF-WSI Experiments",
+                notes=args.run_notes,
+                tags=args.run_tag,
+                group=args.run_group,
+                name=args.run_name,
+                job_type="fine-tune",
+                dir=args.log_dir,
+                config=vars(args),
+            )
+            logger.info("=> initialise wandb logger successfully!")
+        except Exception as e:  # noqa: BLE001
+            logger.info(f"=> wandb unavailable, continuing without it: {e}")
+
     aug_cfg = AugConfig(
         mean=tuple(args.mean), std=tuple(args.std), seg_size=args.seg_size
     )
@@ -199,6 +231,18 @@ def main_worker(args):
         best_f1, is_best = micro_f1.update(summary["f1_micro"])
         best_iou, _ = micro_iou.update(summary["iou_micro"])
         best_acc, _ = micro_acc.update(summary["acc_micro"])
+
+        if tb_writer is not None:
+            tb_writer.add_scalar("train/loss", losses.avg, epoch)
+            tb_writer.add_scalars("train/f1", {"micro": train_f1}, epoch)
+            tb_writer.add_scalars("val/f1", {"micro": summary["f1_micro"]}, epoch)
+            tb_writer.add_scalars("val/iou", {"micro": summary["iou_micro"]}, epoch)
+            tb_writer.add_scalars("val/acc", {"micro": summary["acc_micro"]}, epoch)
+        if wandb_run is not None:
+            wandb_run.log(
+                {"train_f1_micro": train_f1, "val_f1_micro": summary["f1_micro"]}
+            )
+            wandb_run.summary["best_val_f1_micro"] = best_f1
         for m in ("f1", "iou", "acc"):
             for c in class_names:
                 raw_recorders[m][c].update(summary[f"{m}_{c}"])
@@ -230,6 +274,11 @@ def main_worker(args):
             f"IOU: {raw_recorders['iou'][c].best:.4f}, "
             f"ACC: {raw_recorders['acc'][c].best:.4f}"
         )
+
+    if tb_writer is not None:
+        tb_writer.close()
+    if wandb_run is not None:
+        wandb_run.finish()
 
 
 def build_parser():

@@ -132,6 +132,9 @@ def main_worker(args):
 
     # ---- state ----------------------------------------------------------
     state = S.create_ssl_state(jax.random.key(config.seed), config)
+    if args.imagenet_weights:
+        state = S.load_imagenet_encoders(state, C.load_torch_file(args.imagenet_weights))
+        logger.info(f"=> initialized encoders from ImageNet weights {args.imagenet_weights}")
     start_epoch = args.start_epoch
     if args.resume:
         if os.path.exists(args.resume):
@@ -159,6 +162,25 @@ def main_worker(args):
         except Exception as e:  # noqa: BLE001
             logger.info(f"=> tensorboard unavailable: {e}")
 
+    wandb_run = None
+    if args.wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project="MSF-WSI Experiments",
+                notes=args.run_notes,
+                tags=args.run_tag,
+                group=args.run_group,
+                name=args.run_name,
+                job_type="pretrain",
+                dir=args.log_dir,
+                config=vars(args),
+            )
+            logger.info("=> initialise wandb logger successfully!")
+        except Exception as e:  # noqa: BLE001
+            logger.info(f"=> wandb unavailable, continuing without it: {e}")
+
     best_loss = 255.0
     for epoch in range(start_epoch, args.epochs):
         start = time.time()
@@ -166,6 +188,10 @@ def main_worker(args):
         data_time = AverageMeter("Data", ":6.3f")
         progress = ProgressMeter(len(loader), [batch_time, data_time], prefix=f"Epoch: [{epoch}]")
         logger.info(f"=> begin epoch {epoch}")
+
+        profiling = args.profile_steps and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(os.path.join(args.log_dir, "profile"))
 
         pending = []  # device-side loss scalars; fetched off the hot path
         n_steps = 0
@@ -180,8 +206,15 @@ def main_worker(args):
             end = time.time()
             if it % args.print_freq == 0:
                 logger.info(progress.display(it))
+            if profiling and n_steps >= args.profile_steps:
+                float(metrics["loss"])  # flush the queue before stopping
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info(f"=> profiler trace written to {args.log_dir}/profile")
             if args.steps_per_epoch and n_steps >= args.steps_per_epoch:
                 break
+        if profiling:
+            jax.profiler.stop_trace()
 
         losses = [float(x) for x in pending]
         loss = float(np.mean(losses)) if losses else float("nan")
@@ -194,6 +227,9 @@ def main_worker(args):
 
         if tb_writer is not None:
             tb_writer.add_scalar("train/loss", loss, epoch)
+        if wandb_run is not None:
+            wandb_run.log({"train_loss": loss})
+            wandb_run.summary["train_loss"] = best_loss
 
         if jax.process_index() == 0 and (epoch + 1) % args.save_freq == 0:
             C.save_train_state(args.log_dir, state, epoch)
@@ -206,6 +242,8 @@ def main_worker(args):
 
     if tb_writer is not None:
         tb_writer.close()
+    if wandb_run is not None:
+        wandb_run.finish()
 
 
 def build_parser():
@@ -269,6 +307,11 @@ def build_parser():
                         help="cap steps per epoch (0 = full epoch)")
     parser.add_argument("--tile-px", type=int, default=256,
                         help="target sub-tile size before per-tile RRC (reference: 256)")
+    parser.add_argument("--profile-steps", type=int, default=0,
+                        help="trace the first N steps with jax.profiler into <log-dir>/profile")
+    parser.add_argument("--imagenet-weights", type=str, default="",
+                        help="local torchvision ResNet .pth to init both encoders "
+                        "(the reference downloads these via torch.hub: pretrained=True)")
     return parser
 
 
