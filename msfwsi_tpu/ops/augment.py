@@ -189,12 +189,15 @@ def _reflect_pad_hw(img, pad: int):
     )
 
 
-def gaussian_blur(key, img, blur_limit=(19, 23), sigma_limit=(0.1, 2.0)):
+def gaussian_blur(key, img, blur_limit=(19, 23), sigma_limit=(0.1, 2.0), use_pallas=None):
     """albu GaussianBlur: random odd kernel size in ``blur_limit``, sigma in
-    ``sigma_limit``; separable depthwise conv with per-sample kernels.
+    ``sigma_limit``; separable per-sample kernels.
 
     Static max tap count (max ksize); smaller sampled ksizes mask the outer
-    taps to zero — same math, XLA-friendly fixed shapes.
+    taps to zero — same math, XLA-friendly fixed shapes. On TPU (when the
+    shape qualifies and ``blur_limit`` fits the kernel's 23-tap budget) the
+    Pallas single-pass kernel is used; elsewhere the shifted-FMA XLA
+    formulation.
     """
     B, H, W, C = img.shape
     kmax = blur_limit[1]
@@ -211,6 +214,17 @@ def gaussian_blur(key, img, blur_limit=(19, 23), sigma_limit=(0.1, 2.0)):
     mask = jnp.abs(taps[None, :]) <= (ksize[:, None] // 2)
     kern = jnp.where(mask, kern, 0.0)
     kern = (kern / jnp.sum(kern, axis=1, keepdims=True)).astype(img.dtype)
+
+    # Measured on v5e: inside the fused aug+train jit the XLA shifted-FMA
+    # chain fuses with the surrounding elementwise ops and beats the Pallas
+    # kernel (whose H<->W transposes pay full HBM traffic), so Pallas stays
+    # opt-in (use_pallas=True) for standalone large-batch blurring.
+    if use_pallas:
+        from .pallas import blur as pallas_blur
+
+        if kmax != pallas_blur.KMAX or not pallas_blur.blur_supported(img.shape):
+            raise ValueError("pallas blur requires 23-tap budget and C=3, 8-aligned H/W")
+        return pallas_blur.separable_blur_nhwc(img, kern.astype(jnp.float32))
 
     padded = _reflect_pad_hw(img, half)
 
