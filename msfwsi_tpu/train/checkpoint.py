@@ -39,6 +39,10 @@ __all__ = [
     "torch_resnet_to_flax",
     "torch_msfwsi_to_flax",
     "torch_hooknet_to_flax",
+    "flax_resnet_to_torch",
+    "flax_msfwsi_to_torch",
+    "flax_hooknet_to_torch",
+    "save_torch_file",
 ]
 
 
@@ -276,3 +280,144 @@ def torch_hooknet_to_flax(sd: dict):
         params[branch] = bp
         stats[branch] = bs
     return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# Torch export (reverse interop: train here, evaluate with the reference)
+# --------------------------------------------------------------------------
+
+def _flat_items(tree, prefix=""):
+    for k, v in tree.items():
+        path = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            yield from _flat_items(v, path)
+        else:
+            yield path, np.asarray(v)
+
+
+def flax_resnet_to_torch(params: dict, stats: dict) -> dict:
+    """Inverse of :func:`torch_resnet_to_flax`: emit torchvision-layout keys
+    (``layer{i}.{j}.…``, ``downsample.0/1``, HWIO->OIHW)."""
+    out: dict = {}
+
+    def torch_key(path: str) -> str:
+        parts = path.split(".")
+        head = parts[0]
+        if head.startswith("layer"):
+            stage, block = head.rsplit("_", 1)
+            rest = parts[1:]
+            if rest[0] == "downsample_conv":
+                rest[0] = "downsample.0"
+            elif rest[0] == "downsample_bn":
+                rest[0] = "downsample.1"
+            return ".".join([stage, block, *rest])
+        return path
+
+    for path, value in _flat_items(params):
+        key = torch_key(path)
+        mod, leaf = key.rsplit(".", 1)
+        if leaf == "kernel":
+            if value.ndim == 4:
+                out[f"{mod}.weight"] = np.transpose(value, (3, 2, 0, 1))
+            else:
+                out[f"{mod}.weight"] = np.transpose(value)
+        elif leaf == "scale":
+            out[f"{mod}.weight"] = value
+        elif leaf == "bias":
+            out[f"{mod}.bias"] = value
+    for path, value in _flat_items(stats):
+        key = torch_key(path)
+        mod, leaf = key.rsplit(".", 1)
+        out[f"{mod}.running_mean" if leaf == "mean" else f"{mod}.running_var"] = value
+    return out
+
+
+_PROJECTOR_SEQ_INV = {v: k for k, v in _PROJECTOR_SEQ.items()}
+_PREDICTOR_SEQ_INV = {v: k for k, v in _PREDICTOR_SEQ.items()}
+
+
+def _flax_mlp_to_torch(params: dict, stats: dict, seq_inv: dict, out: dict, prefix: str):
+    for path, value in _flat_items(params):
+        sub, leaf = path.split(".")
+        idx = seq_inv[sub]
+        if leaf == "kernel":
+            out[f"{prefix}.{idx}.weight"] = np.transpose(value)
+        elif leaf == "scale":
+            out[f"{prefix}.{idx}.weight"] = value
+        elif leaf == "bias":
+            out[f"{prefix}.{idx}.bias"] = value
+    for path, value in _flat_items(stats):
+        sub, leaf = path.split(".")
+        idx = seq_inv[sub]
+        out[f"{prefix}.{idx}.running_mean" if leaf == "mean" else f"{prefix}.{idx}.running_var"] = value
+
+
+def flax_msfwsi_to_torch(variables: dict, ddp_prefix: bool = True) -> dict:
+    """MSFWSI Flax variables -> reference-format state_dict (optionally with
+    the DDP ``module.`` prefix, as ``torch.save`` wrote it,
+    ``ssl_train.py:376-383``). Consumable by the reference's finetune
+    surgery (``ssl_finetune.py:146-172``)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    out: dict = {}
+    for enc in ("context_encoder", "target_encoder"):
+        for k, v in flax_resnet_to_torch(params[enc], stats[enc]).items():
+            out[f"{enc}.{k}"] = v
+    for name in params:
+        if "projector" in name or "predictor" in name:
+            side_kind, idx = name.rsplit("_", 1)
+            seq_inv = _PROJECTOR_SEQ_INV if "projector" in name else _PREDICTOR_SEQ_INV
+            _flax_mlp_to_torch(
+                params[name], stats.get(name, {}), seq_inv, out, f"{side_kind}.{idx}"
+            )
+    if ddp_prefix:
+        out = {f"module.{k}": v for k, v in out.items()}
+    return out
+
+
+def flax_hooknet_to_torch(variables: dict, ddp_prefix: bool = True) -> dict:
+    """HookNet Flax variables -> reference/smp-format state_dict
+    (``context_branch.encoder…``, ``decoder.blocks.i.convN.0/1``,
+    ``segmentation_head.0``)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    out: dict = {}
+    for branch in ("context_branch", "target_branch"):
+        for k, v in flax_resnet_to_torch(
+            params[branch]["encoder"], stats[branch]["encoder"]
+        ).items():
+            out[f"{branch}.encoder.{k}"] = v
+        dec_p = params[branch]["decoder"]
+        dec_s = stats[branch]["decoder"]
+        for block_name in dec_p:
+            i = block_name[len("block"):]
+            for convn in dec_p[block_name]:
+                sub_p = dec_p[block_name][convn]
+                sub_s = dec_s[block_name][convn]
+                pre = f"{branch}.decoder.blocks.{i}.{convn}"
+                out[f"{pre}.0.weight"] = np.transpose(sub_p["conv"]["kernel"], (3, 2, 0, 1))
+                out[f"{pre}.1.weight"] = np.asarray(sub_p["bn"]["scale"])
+                out[f"{pre}.1.bias"] = np.asarray(sub_p["bn"]["bias"])
+                out[f"{pre}.1.running_mean"] = np.asarray(sub_s["bn"]["mean"])
+                out[f"{pre}.1.running_var"] = np.asarray(sub_s["bn"]["var"])
+        head = params[branch]["segmentation_head"]["conv"]
+        out[f"{branch}.segmentation_head.0.weight"] = np.transpose(
+            head["kernel"], (3, 2, 0, 1)
+        )
+        out[f"{branch}.segmentation_head.0.bias"] = np.asarray(head["bias"])
+    if ddp_prefix:
+        out = {f"module.{k}": v for k, v in out.items()}
+    return out
+
+
+def save_torch_file(path: str, state_dict: dict, epoch: int = 0, arch: str = "resnet18"):
+    """Write a reference-format ``.pth.tar`` payload (``ssl_train.py:376-383``
+    keys; optimizer/scaler omitted — the reference only reads state_dict on
+    the consume paths)."""
+    import torch
+
+    payload = {
+        "epoch": epoch,
+        "arch": arch,
+        "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state_dict.items()},
+    }
+    torch.save(payload, path)
+    return path

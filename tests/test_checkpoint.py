@@ -116,6 +116,62 @@ class TestResNetInterop:
         assert paths(stats) == paths(ref_vars["batch_stats"])
 
 
+class TorchBottleneck(tnn.Module):
+    """torchvision Bottleneck oracle (optionally grouped, for resnext)."""
+
+    def __init__(self, inplanes, planes, stride=1, groups=1, base_width=64, expansion=4):
+        super().__init__()
+        width = int(planes * (base_width / 64.0)) * groups
+        self.conv1 = tnn.Conv2d(inplanes, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, groups=groups, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, planes * expansion, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * expansion)
+        self.downsample = None
+        if stride != 1 or inplanes != planes * expansion:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(inplanes, planes * expansion, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes * expansion),
+            )
+
+    def forward(self, x):
+        idt = x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            idt = self.downsample(x)
+        return F.relu(out + idt)
+
+
+class TestBottleneckInterop:
+    @pytest.mark.parametrize("groups,base_width", [(1, 64), (32, 4)])
+    def test_bottleneck_block_parity(self, groups, base_width):
+        """Bottleneck (resnet50) and grouped Bottleneck (resnext50_32x4d)
+        blocks match the torch oracle after weight conversion."""
+        from msfwsi_tpu.models.resnet import Bottleneck
+
+        torch.manual_seed(20 + groups)
+        oracle = TorchBottleneck(64, 64, stride=2, groups=groups, base_width=base_width).eval()
+        randomize_bn_stats(oracle, seed=21 + groups)
+
+        sd = {f"layer1.0.{k}": v.numpy() for k, v in oracle.state_dict().items()}
+        params, stats = C.torch_resnet_to_flax(sd)
+
+        block = Bottleneck(
+            planes=64, strides=2, use_projection=True, groups=groups, base_width=base_width
+        )
+        x = np.random.default_rng(9).normal(size=(2, 16, 16, 64)).astype(np.float32)
+        ours = jax.jit(lambda v, xx: block.apply(v, xx, train=False))(
+            {"params": params["layer1_0"], "batch_stats": stats["layer1_0"]},
+            jnp.asarray(x),
+        )
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-3, atol=1e-4)
+
+
 class TestMLPInterop:
     def test_projector_parity(self):
         # Reference make_projector (backbone.py:12-22) as torch oracle.
@@ -260,6 +316,78 @@ class TestReferenceCheckpointFormat:
         ours = jax.jit(lambda xx: enc(xx, train=False, features="pooled"))(jnp.asarray(x))
         with torch.no_grad():
             ref = ctx_enc(torch.from_numpy(x).permute(0, 3, 1, 2))
+        for a, b in zip(ours, ref):
+            np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=1e-3, atol=1e-4)
+
+
+class TestTorchExport:
+    def _trees_equal(self, a, b):
+        la = jax.tree_util.tree_flatten_with_path(a)[0]
+        lb = jax.tree_util.tree_flatten_with_path(b)[0]
+        assert [jax.tree_util.keystr(p) for p, _ in la] == [
+            jax.tree_util.keystr(p) for p, _ in lb
+        ]
+        for (_, x), (_, y) in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_msfwsi_roundtrip(self, tmp_path):
+        """flax -> reference .pth.tar -> flax must be the identity."""
+        config = S.SSLConfig(arch="resnet18", scale=2, img_size=32, batch_size=4, amp=False)
+        state = S.create_ssl_state(jax.random.key(3), config)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        sd = C.flax_msfwsi_to_torch(variables)
+        assert all(k.startswith("module.") for k in sd)
+        path = str(tmp_path / "exported.pth.tar")
+        C.save_torch_file(path, sd, epoch=5)
+
+        back = C.torch_msfwsi_to_flax(C.load_torch_file(path))
+        self._trees_equal(back["params"], variables["params"])
+        self._trees_equal(back["batch_stats"], variables["batch_stats"])
+
+    def test_hooknet_roundtrip(self, tmp_path):
+        from msfwsi_tpu.train import finetune as FT
+
+        config = FT.FinetuneConfig(arch="resnet18", class_names=("a", "b"), amp=False, seg_size=64)
+        state = FT.create_finetune_state(jax.random.key(4), config, local_batch=1)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        sd = C.flax_hooknet_to_torch(variables)
+        path = str(tmp_path / "hooknet.pth.tar")
+        C.save_torch_file(path, sd)
+
+        back = C.torch_hooknet_to_flax(C.load_torch_file(path))
+        self._trees_equal(back["params"], variables["params"])
+        self._trees_equal(back["batch_stats"], variables["batch_stats"])
+
+    def test_exported_resnet_loads_into_torch_oracle(self):
+        """Exported encoder weights must load into a real torch module (the
+        reference's load_state_dict consume path) and produce identical
+        features."""
+        from msfwsi_tpu.models import resnet as R
+
+        model = R.get_encoder("resnet18")
+        variables = jax.jit(
+            lambda k: model.init(k, jnp.zeros((1, 64, 64, 3)), train=False)
+        )(jax.random.key(5))
+        sd = C.flax_resnet_to_torch(variables["params"], variables["batch_stats"])
+
+        oracle = TorchResNet18()
+        missing, unexpected = oracle.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+            strict=False,
+        )
+        # only num_batches_tracked buffers may be missing
+        assert not unexpected
+        assert all("num_batches_tracked" in m for m in missing)
+        oracle.eval()
+
+        x = np.random.default_rng(6).normal(size=(2, 64, 64, 3)).astype(np.float32)
+        ours = jax.jit(
+            lambda v, xx: model.apply(v, xx, train=False, features="pooled")
+        )(variables, jnp.asarray(x))
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(x).permute(0, 3, 1, 2))
         for a, b in zip(ours, ref):
             np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=1e-3, atol=1e-4)
 
