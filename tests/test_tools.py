@@ -101,6 +101,43 @@ class TestToolSmoke:
         assert "MICRO F1" in out
         assert "tumor F1" in out
 
+    def test_ssl_train_camelyon_manifest(self, tmp_path):
+        """Camelyon16 path: dataset.json manifest + per-epoch resampling in
+        the driver (ssl_train.py:354-361 parity)."""
+        import json
+
+        import numpy as np
+        from PIL import Image
+
+        data = tmp_path / "c16"
+        for slide in ("tumor_001", "normal_002"):
+            os.makedirs(data / "imagesTr" / slide)
+            rng = np.random.default_rng(hash(slide) % 2**31)
+            for i in range(6):
+                Image.fromarray(
+                    rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+                ).save(data / "imagesTr" / slide / f"{i}.png")
+        (data / "dataset.json").write_text(
+            json.dumps(
+                {
+                    "train_ids": ["tumor_001", "normal_002"],
+                    "val_ids": [],
+                    "test_ids": [],
+                    "file_ending": ".png",
+                }
+            )
+        )
+        out = run_tool(
+            "ssl_train.py",
+            "--data-name", "camelyon16",
+            "--data", str(data),
+            "--scale", "2", "--img-sz", "32", "--tile-px", "64",
+            "-b", "8", "--epochs", "2", "--save-freq", "2", "--seed", "0",
+            "--log-dir", str(tmp_path / "c16run"),
+        )
+        assert "reset dataset for next epoch" in out
+        assert "BEST LOSS" in out
+
     def test_bcss_prepare_tool(self, tmp_path):
         import numpy as np
         from PIL import Image

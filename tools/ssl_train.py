@@ -57,6 +57,12 @@ def main_worker(args):
     mesh = make_mesh(MeshSpec())
     n_dev = mesh.devices.size
     logger.info(f"=> mesh: {n_dev} device(s) on axis 'data' ({jax.devices()[0].platform})")
+    if args.batch_size % n_dev:
+        logger.error(
+            f"=> global batch {args.batch_size} must be divisible by the "
+            f"{n_dev}-device data axis"
+        )
+        sys.exit(1)
 
     if args.amp:
         logger.info("=> bf16 mixed precision enabled (no GradScaler needed on TPU)")
