@@ -121,11 +121,7 @@ class ColorJitterConfig:
     p: float = 0.8
 
 
-def color_jitter(key, img, cfg: ColorJitterConfig = ColorJitterConfig()):
-    """Per-sample ColorJitter in random op order, applied with prob ``cfg.p``
-    (``ssl_train.py:177``: ColorJitter(0.4,0.4,0.4,0.1, p=0.8))."""
-    B = img.shape[0]
-    dt = img.dtype
+def _sample_jitter_params(key, B, cfg: ColorJitterConfig, dt):
     k_apply, k_b, k_c, k_s, k_h, k_ord = jax.random.split(key, 6)
     fb = jax.random.uniform(
         k_b, (B, 1, 1, 1), minval=max(0.0, 1 - cfg.brightness), maxval=1 + cfg.brightness
@@ -137,40 +133,112 @@ def color_jitter(key, img, cfg: ColorJitterConfig = ColorJitterConfig()):
         k_s, (B, 1, 1, 1), minval=max(0.0, 1 - cfg.saturation), maxval=1 + cfg.saturation
     ).astype(dt)
     fh = jax.random.uniform(k_h, (B, 1, 1), minval=-cfg.hue, maxval=cfg.hue).astype(dt)
-
-    def op_brightness(x):
-        return jnp.clip(x * fb, 0.0, 1.0)
-
-    def op_contrast(x):
-        mean = jnp.mean(
-            rgb_to_grayscale(x), axis=(1, 2, 3), keepdims=True, dtype=jnp.float32
-        ).astype(x.dtype)
-        return _blend(x, mean, fc)
-
-    def op_saturation(x):
-        return _blend(x, rgb_to_grayscale(x), fs)
-
-    def op_hue(x):
-        hsv = _rgb_to_hsv(x)
-        h = (hsv[..., 0] + fh) % 1.0
-        return _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
-
-    ops = [op_brightness, op_contrast, op_saturation, op_hue]
-    # Per-sample random order: 4 rounds; in round r sample i applies op
-    # perm[i, r]. Candidates are combined with chained jnp.where (pure
-    # elementwise, one fused VPU kernel per round) — never stack+gather,
-    # which lowers to a serializing TPU gather.
-    perm = jax.vmap(lambda k: jax.random.permutation(k, 4))(
-        jax.random.split(k_ord, B)
-    )  # (B, 4)
-    out = img
-    for r in range(4):
-        which = perm[:, r][:, None, None, None]  # (B,1,1,1)
-        sel = ops[3](out)
-        for idx in (2, 1, 0):
-            sel = jnp.where(which == idx, ops[idx](out), sel)
-        out = sel
+    perm = jax.vmap(lambda k: jax.random.permutation(k, 4))(jax.random.split(k_ord, B))
     apply = jax.random.uniform(k_apply, (B, 1, 1, 1)) < cfg.p
+    return fb, fc, fs, fh, perm, apply
+
+
+def _apply_hue(x, fh):
+    hsv = _rgb_to_hsv(x)
+    h = (hsv[..., 0] + fh) % 1.0
+    return _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
+
+
+def color_jitter(key, img, cfg: ColorJitterConfig = ColorJitterConfig(), method: str = "fused"):
+    """Per-sample ColorJitter in random op order, applied with prob ``cfg.p``
+    (``ssl_train.py:177``: ColorJitter(0.4,0.4,0.4,0.1, p=0.8)).
+
+    ``method="fused"`` (default, TPU-fast): brightness/contrast/saturation
+    are affine maps of ``(x, gray(x), 1)`` — with gray linear and idempotent,
+    their composition in *any* order is exactly ``a*x + b*gray(x) + c`` with
+    per-sample scalar coefficients (contrast's gray-mean reduces to scalar
+    algebra on the input mean). The pipeline becomes affine-before-hue ->
+    hue -> affine-after-hue -> clip: 3 image passes instead of 16. The only
+    difference vs the sequential reference is that intermediate clipping is
+    deferred to the end (albu clips per op in uint8); when no intermediate
+    clip binds the two methods agree exactly (tested).
+
+    ``method="sequential"`` applies the four ops literally, clipping each.
+    """
+    B = img.shape[0]
+    dt = img.dtype
+    fb, fc, fs, fh, perm, apply = _sample_jitter_params(key, B, cfg, dt)
+
+    if method == "sequential":
+        def op_brightness(x):
+            return jnp.clip(x * fb, 0.0, 1.0)
+
+        def op_contrast(x):
+            mean = jnp.mean(
+                rgb_to_grayscale(x), axis=(1, 2, 3), keepdims=True, dtype=jnp.float32
+            ).astype(x.dtype)
+            return _blend(x, mean, fc)
+
+        def op_saturation(x):
+            return _blend(x, rgb_to_grayscale(x), fs)
+
+        ops = [op_brightness, op_contrast, op_saturation, lambda x: _apply_hue(x, fh)]
+        out = img
+        for r in range(4):
+            which = perm[:, r][:, None, None, None]
+            # Chained jnp.where selects (pure elementwise, fused on the VPU)
+            # — never stack+gather, which serializes on TPU.
+            sel = ops[3](out)
+            for idx in (2, 1, 0):
+                sel = jnp.where(which == idx, ops[idx](out), sel)
+            out = sel
+        return jnp.where(apply, out, img)
+
+    # ---- fused affine composition -------------------------------------
+    def compose_affine(active, a, b, c, mg):
+        """One composition round: where ``active``, apply op perm[:, r] to the
+        running affine (a*x + b*g + c); gray of that state is (a+b)*g + c and
+        its mean is (a+b)*mg + c."""
+        a2b, b2b = fb * a, fb * b
+        c2b = fb * c
+        a2s = fs * a
+        b2s = fs * b + (1.0 - fs) * (a + b)
+        c2s = c  # fs*c + (1-fs)*c
+        mean_cur = (a + b) * mg + c
+        a2c, b2c = fc * a, fc * b
+        c2c = fc * c + (1.0 - fc) * mean_cur
+
+        def sel(op_id, vb, vs, vc, orig):
+            out = orig  # hue or inactive: affine unchanged
+            out = jnp.where(active & (op_id == 0), vb, out)
+            out = jnp.where(active & (op_id == 1), vc, out)
+            out = jnp.where(active & (op_id == 2), vs, out)
+            return out
+
+        return sel, (a2b, a2s, a2c), (b2b, b2s, b2c), (c2b, c2s, c2c)
+
+    g = rgb_to_grayscale(img)
+    mg = jnp.mean(g, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32).astype(dt)
+
+    hue_pos = jnp.argmax(perm == 3, axis=1)[:, None, None, None]  # (B,1,1,1)
+
+    def run_segment(before: bool, mg_seg):
+        a = jnp.ones((B, 1, 1, 1), dt)
+        b = jnp.zeros((B, 1, 1, 1), dt)
+        c = jnp.zeros((B, 1, 1, 1), dt)
+        for r in range(4):
+            op_id = perm[:, r][:, None, None, None]
+            active = (jnp.full_like(op_id, r) < hue_pos) if before else (
+                jnp.full_like(op_id, r) > hue_pos
+            )
+            sel, aa, bb, cc = compose_affine(active, a, b, c, mg_seg)
+            a = sel(op_id, aa[0], aa[1], aa[2], a)
+            b = sel(op_id, bb[0], bb[1], bb[2], b)
+            c = sel(op_id, cc[0], cc[1], cc[2], c)
+        return a, b, c
+
+    a1, b1, c1 = run_segment(True, mg)
+    y = a1 * img + b1 * g + c1
+    z = _apply_hue(jnp.clip(y, 0.0, 1.0), fh)
+    g2 = rgb_to_grayscale(z)
+    mg2 = jnp.mean(g2, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32).astype(dt)
+    a2, b2, c2 = run_segment(False, mg2)
+    out = jnp.clip(a2 * z + b2 * g2 + c2, 0.0, 1.0)
     return jnp.where(apply, out, img)
 
 
@@ -201,6 +269,14 @@ def gaussian_blur(key, img, blur_limit=(19, 23), sigma_limit=(0.1, 2.0), use_pal
     """
     B, H, W, C = img.shape
     kmax = blur_limit[1]
+    # Half-precision images can't represent the outermost taps' contribution
+    # anyway: at sigma_max the tap at |t| carries exp(-t^2/(2*sigma_max^2)) of
+    # the center weight — truncate taps below bf16 resolution (~4e-3) and
+    # renormalize. For sigma<=2 this caps the window at |t|<=7 (15 taps),
+    # saving ~1/3 of the FMA passes with a per-pixel error < 1e-3.
+    if img.dtype in (jnp.bfloat16, jnp.float16):
+        t_needed = int(math.ceil(sigma_limit[1] * math.sqrt(2.0 * math.log(1.0 / 2e-3))))
+        kmax = min(kmax, 2 * t_needed + 1)
     half = kmax // 2
     k_size, k_sigma = jax.random.split(key)
     n_sizes = (blur_limit[1] - blur_limit[0]) // 2 + 1

@@ -44,6 +44,27 @@ class TestColorOps:
         back = A._hsv_to_rgb(hsv)
         np.testing.assert_allclose(np.asarray(back), np.asarray(img), atol=1e-5)
 
+    def test_fused_matches_sequential_when_clips_dont_bind(self):
+        """The fused affine composition must equal the literal sequential
+        application whenever no intermediate clip binds (tight factors,
+        mid-range pixels)."""
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.uniform(0.4, 0.6, size=(8, 16, 16, 3)).astype(np.float32))
+        cfg = A.ColorJitterConfig(brightness=0.05, contrast=0.05, saturation=0.05, hue=0.02, p=1.0)
+        for seed in range(3):
+            k = jax.random.key(seed)
+            fused = A.color_jitter(k, img, cfg, method="fused")
+            seq = A.color_jitter(k, img, cfg, method="sequential")
+            np.testing.assert_allclose(np.asarray(fused), np.asarray(seq), atol=2e-5)
+
+    def test_fused_default_distribution_sane(self):
+        img = rand_img(b=64, h=8, w=8, seed=12)
+        out = np.asarray(A.color_jitter(jax.random.key(2), img, A.ColorJitterConfig(p=1.0)))
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        assert not np.array_equal(out, np.asarray(img))
+        # roughly centered: mean shift bounded
+        assert abs(out.mean() - np.asarray(img).mean()) < 0.15
+
     def test_to_gray_probabilistic(self):
         img = rand_img(b=512, h=4, w=4)
         out = np.asarray(A.to_gray(jax.random.key(2), img, p=0.2))
