@@ -30,16 +30,29 @@ from ..ops.metrics import accuracy, f1_score, get_stats, iou_score
 __all__ = ["make_chunk_forward", "validate_slide", "validate", "SlideScores"]
 
 
-def make_chunk_forward(model, chunk: int = 128):
+def make_chunk_forward(model, chunk: int = 128, mesh=None):
     """Jitted forward over one fixed-size chunk of (context, target) tiles,
-    returning the predicted target mask (chunk, H, W) int32."""
+    returning the predicted target mask (chunk, H, W) int32.
 
-    @jax.jit
-    def forward(variables, ctx, tgt):
+    With a ``mesh``, the chunk's tile axis is sharded over "data" so slide
+    inference runs across all chips — the reference instead validates on
+    rank 0 while the other GPUs idle (``ssl_finetune.py:308``).
+    """
+
+    def forward_impl(variables, ctx, tgt):
         _, tgt_logits = model.apply(variables, ctx, tgt, train=False)
         return jnp.argmax(tgt_logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
 
-    return forward
+    if mesh is None:
+        return jax.jit(forward_impl)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        forward_impl, in_shardings=(repl, data, data), out_shardings=data
+    )
 
 
 def _pad_to_multiple(arr: np.ndarray, chunk: int):

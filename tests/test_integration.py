@@ -1,0 +1,84 @@
+"""Cross-cutting integration tests: fused-vs-separate step consistency and
+multi-device validation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msfwsi_tpu.data import pipeline as P
+from msfwsi_tpu.parallel import MeshSpec, make_mesh
+from msfwsi_tpu.train import evaluate as EV
+from msfwsi_tpu.train import finetune as FT
+from msfwsi_tpu.train import ssl as S
+
+
+class TestFusedStepConsistency:
+    def test_fused_equals_aug_then_step(self):
+        """One jit (aug+step) must produce exactly the same update as
+        augmenting first and stepping second with the same key."""
+        config = S.SSLConfig(arch="resnet18", scale=2, img_size=32, batch_size=4, amp=False)
+        aug_cfg = P.AugConfig(img_size=32, grid=2, tile_px=32)
+        rng = np.random.default_rng(0)
+        tiles = jnp.asarray(
+            rng.integers(0, 255, size=(4, 64, 64, 3), dtype=np.uint8)
+        )
+        state = S.create_ssl_state(jax.random.key(0), config)
+        key = jax.random.key(42)
+
+        fused = S.make_jitted_fused_step(config, aug_cfg, donate=False)
+        st_fused, m_fused = fused(state, tiles, key)
+
+        views = jax.jit(lambda k, t: P.make_ssl_views(k, t, aug_cfg))(key, tiles)
+        step = S.make_jitted_train_step(config, donate=False)
+        st_sep, m_sep = step(state, views)
+
+        assert float(m_fused["loss"]) == pytest.approx(float(m_sep["loss"]), rel=1e-5)
+        # Adam's first step is ±lr*sign(g); where g≈0, fusion-order float
+        # differences can flip the sign (diff 2*lr) — tolerate that on <1% of
+        # elements, require the rest tight.
+        lr = config.init_lr
+        total = flipped = 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(st_fused.params),
+            jax.tree_util.tree_leaves(st_sep.params),
+        ):
+            d = np.abs(np.asarray(a) - np.asarray(b))
+            assert d.max() <= 2.05 * lr
+            flipped += int((d > 0.5 * lr).sum())
+            total += d.size
+        assert flipped / total < 0.01
+
+
+class TestShardedValidation:
+    def test_sharded_slide_inference_matches_single(self):
+        """Per-slide chunked inference sharded over the 8-device mesh must
+        give identical predictions/scores to single-device inference."""
+        config = FT.FinetuneConfig(
+            arch="resnet18", class_names=("a", "b", "c"), amp=False, seg_size=64
+        )
+        state = FT.create_finetune_state(jax.random.key(1), config, local_batch=2)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        rng = np.random.default_rng(2)
+        T = 11  # odd tile count: exercises padding too
+        ctx = rng.normal(size=(T, 64, 64, 3)).astype(np.float32)
+        tgt = rng.normal(size=(T, 64, 64, 3)).astype(np.float32)
+        masks = rng.integers(0, config.num_classes, size=(T, 64, 64))
+
+        f_single = EV.make_chunk_forward(state.model, chunk=8)
+        micro_1, sums_1 = EV.validate_slide(
+            f_single, variables, ctx, tgt, masks, num_classes=3, chunk=8
+        )
+
+        mesh = make_mesh(MeshSpec(data=8), devices=jax.devices()[:8])
+        f_sharded = EV.make_chunk_forward(state.model, chunk=8, mesh=mesh)
+        micro_8, sums_8 = EV.validate_slide(
+            f_sharded, variables, ctx, tgt, masks, num_classes=3, chunk=8
+        )
+
+        for k in micro_1:
+            assert micro_1[k] == pytest.approx(micro_8[k], abs=1e-6)
+        for a, b in zip(sums_1, sums_8):
+            np.testing.assert_array_equal(a, b)

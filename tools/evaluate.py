@@ -85,7 +85,13 @@ def main_worker(args):
                 yield L.load_slide_arrays(root, g)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    chunk_forward = EV.make_chunk_forward(state.model, chunk=args.val_chunk)
+    mesh = None
+    if jax.device_count() > 1 and args.val_chunk % jax.device_count() == 0:
+        from msfwsi_tpu.parallel import MeshSpec, make_mesh
+
+        mesh = make_mesh(MeshSpec())
+        logger.info(f"=> sharding validation chunks over {jax.device_count()} devices")
+    chunk_forward = EV.make_chunk_forward(state.model, chunk=args.val_chunk, mesh=mesh)
     scores = EV.SlideScores(class_names)
     for i, (imgs_s, masks_s) in enumerate(iter_slides()):
         (ctx, tgt), (_, tmask) = make_seg_val_views(imgs_s, masks_s, aug_cfg)
