@@ -101,6 +101,24 @@ class TestToolSmoke:
         assert "MICRO F1" in out
         assert "tumor F1" in out
 
+    def test_finetune_multidevice(self, tmp_path):
+        """Finetune with batch divisible by the 8-device mesh: sharded train
+        step + sharded validation chunks."""
+        out = run_tool(
+            "ssl_finetune.py",
+            "--synthetic", "4",
+            "-b", "8",
+            "--epochs", "1",
+            "--steps-per-epoch", "1",
+            "--val-chunk", "8",
+            "--seg-size", "64",
+            "-p", "1",
+            "--seed", "0",
+            "--data-name", "bcss",
+            "--log-dir", str(tmp_path / "ftmd"),
+        )
+        assert "MICRO F1" in out
+
     def test_ssl_train_camelyon_manifest(self, tmp_path):
         """Camelyon16 path: dataset.json manifest + per-epoch resampling in
         the driver (ssl_train.py:354-361 parity)."""

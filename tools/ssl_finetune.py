@@ -158,19 +158,39 @@ def main_worker(args):
             for g in groups:
                 yield L.load_slide_arrays(root, g)
 
+    n_dev = jax.device_count()
+    multi = n_dev > 1 and args.batch_size % n_dev == 0
+    if n_dev > 1 and not multi:
+        logger.info(
+            f"=> batch {args.batch_size} not divisible by {n_dev} devices; "
+            "running single-device"
+        )
+    from msfwsi_tpu.parallel import batch_sharding
+
     loader = L.TileBatchLoader(
         root,
         train_recs,
         batch_size=args.batch_size,
         load_fn=load_fn,
         seed=config.seed,
-        drop_last=False,
-        sharding=None,  # variable last batch; shard inside step via device_put
+        # The reference keeps the last partial batch (drop_last=False,
+        # ssl_finetune.py:276); under a sharded mesh the batch must divide
+        # the data axis, so multi-device runs drop it.
+        drop_last=multi,
+        sharding=batch_sharding(mesh) if multi else None,
     )
     logger.info(f"=> train tiles: {len(train_recs)}, steps/epoch: {len(loader)}")
+    if len(loader) == 0:
+        logger.error(
+            f"=> no full batches: {len(train_recs)} train tiles < batch {args.batch_size}"
+        )
+        sys.exit(1)
 
-    step_fn = FT.make_jitted_fused_finetune_step(config, aug_cfg, donate=False)
-    chunk_forward = EV.make_chunk_forward(state.model, chunk=args.val_chunk)
+    step_fn = FT.make_jitted_fused_finetune_step(
+        config, aug_cfg, mesh=mesh if multi else None, donate=False
+    )
+    val_mesh = mesh if (n_dev > 1 and args.val_chunk % n_dev == 0) else None
+    chunk_forward = EV.make_chunk_forward(state.model, chunk=args.val_chunk, mesh=val_mesh)
     base_key = jax.random.key(config.seed)
 
     def run_validation(state):
