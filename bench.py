@@ -16,7 +16,11 @@ loss read (a full device->host fetch is pathologically slow through the
 axon tunnel and block_until_ready alone under-synchronizes).
 
 Env knobs: BENCH_ARCH, BENCH_BATCH, BENCH_ITERS, BENCH_WARMUP,
-BENCH_MODE=pipeline|step (step = train step only on pre-built views).
+BENCH_MODE=pipeline|step|hooknet|infer
+  pipeline: default headline (aug + SSL train step, tiles/sec/chip)
+  step:     SSL train step only on pre-built views
+  hooknet:  HookNet finetune step (aug + Dice fwd/bwd/Adam), 256px pairs/sec
+  infer:    HookNet chunked slide inference (eval path), 256px tiles/sec.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N}
@@ -44,10 +48,14 @@ def main():
     from msfwsi_tpu.data.pipeline import AugConfig
     from msfwsi_tpu.train import ssl as S
 
+    rng = np.random.default_rng(0)
+
+    if mode in ("hooknet", "infer"):
+        return hooknet_bench(mode, arch, batch, iters, warmup, rng)
+
     config = S.SSLConfig(arch=arch, scale=4, img_size=224, batch_size=batch, amp=True)
     K = config.scale**2
     state = S.create_ssl_state(jax.random.key(0), config)
-    rng = np.random.default_rng(0)
 
     if mode == "pipeline":
         aug_cfg = AugConfig(compute_dtype="bfloat16")
@@ -92,6 +100,65 @@ def main():
                 "value": round(tiles_per_sec_chip, 2),
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(tiles_per_sec_chip / BASELINE_TILES_PER_SEC, 4),
+            }
+        )
+    )
+
+
+def hooknet_bench(mode, arch, batch, iters, warmup, rng):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msfwsi_tpu.data.pipeline import AugConfig
+    from msfwsi_tpu.train import evaluate as EV
+    from msfwsi_tpu.train import finetune as FT
+
+    config = FT.FinetuneConfig(arch=arch, batch_size=batch, amp=True)
+    aug_cfg = AugConfig(compute_dtype="bfloat16")
+    state = FT.create_finetune_state(jax.random.key(0), config, local_batch=2)
+
+    if mode == "hooknet":
+        imgs = jnp.asarray(rng.integers(0, 255, size=(batch, 1024, 1024, 3), dtype=np.uint8))
+        masks = jnp.asarray(rng.integers(0, config.num_classes, size=(batch, 1024, 1024), dtype=np.uint8))
+        step = FT.make_jitted_fused_finetune_step(config, aug_cfg, donate=False)
+        st = state
+        for i in range(warmup):
+            st, metrics = step(st, imgs, masks, jax.random.key(i))
+        float(metrics["loss"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            st, metrics = step(st, imgs, masks, jax.random.key(100 + i))
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        value = batch * iters / dt / jax.device_count()
+        metric = f"hooknet_finetune_pairs_per_sec_per_chip[{arch},b{batch},256px]"
+        base = 0.0
+    else:
+        chunk = batch
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        ctx = jnp.asarray(rng.normal(size=(chunk, 256, 256, 3)), jnp.float32)
+        tgt = jnp.asarray(rng.normal(size=(chunk, 256, 256, 3)), jnp.float32)
+        fwd = EV.make_chunk_forward(state.model, chunk=chunk)
+        for _ in range(warmup):
+            pred = fwd(variables, ctx, tgt)
+        int(pred[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            pred = fwd(variables, ctx, tgt)
+        int(pred[0, 0, 0])
+        dt = time.perf_counter() - t0
+        value = chunk * iters / dt / jax.device_count()
+        metric = f"hooknet_inference_tiles_per_sec_per_chip[{arch},chunk{chunk},256px]"
+        base = 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 2),
+                "unit": "tiles/sec/chip",
+                "vs_baseline": round(value / BASELINE_TILES_PER_SEC, 4),
             }
         )
     )

@@ -195,7 +195,21 @@ def synthetic_tile_library(
             r = rng.integers(tile_size // 8, tile_size // 2)
             blob = ((yy - cy) ** 2 + (xx - cx) ** 2) < r**2
             mask = np.zeros((tile_size, tile_size), np.uint8)
-            mask[blob] = rng.integers(1, num_classes + 1)
+            cls = int(rng.integers(1, num_classes + 1))
+            mask[blob] = cls
+            # Tint the blob with a class-specific color so the labels are
+            # *learnable* from pixels (smoke-training metrics can rise).
+            tint = np.array(
+                [
+                    64 + (191 * cls) % 192,
+                    64 + (113 * cls) % 192,
+                    64 + (53 * cls) % 192,
+                ],
+                np.int32,
+            )
+            img = img.astype(np.int32)
+            img[blob] = (img[blob] + 2 * tint) // 3
+            img = img.astype(np.uint8)
             imgs.append(img)
             masks.append(mask)
             slide_ids.append(s)
