@@ -8,8 +8,11 @@ the TPU:
 
   * files are sharded across hosts like ``DistributedSampler``
     (rank-strided after a seeded global shuffle, ``ssl_train.py:262-263``);
-  * batches are decoded by a thread pool and staged into a depth-2 prefetch
-    queue (double buffering) while the device computes;
+  * batches are decoded into one contiguous buffer by the native C++
+    tileio library (parallel libpng/libjpeg, ``msfwsi_tpu/native`` — ~2x a
+    PIL thread pool, bit-exact) when available, else a PIL thread pool,
+    and staged into a depth-2 prefetch queue (double buffering) while the
+    device computes;
   * arrays are placed on device (optionally with a batch `NamedSharding`)
     as raw uint8 — 4x less PCIe/ICI traffic than float32.
 """
@@ -74,17 +77,64 @@ class TileBatchLoader:
         num_threads: int = 8,
         prefetch: int = 2,
         sharding=None,
+        use_native: bool | None = None,
     ):
         self.root = root
         self.files = list(files)
         self.batch_size = batch_size
-        self.load_fn = load_fn or (lambda rec: load_image(osp.join(root, rec)))
+        self.load_fn = load_fn or self._default_load
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.sharding = sharding
+        # Native batch decoding applies to the default loader only: records
+        # are plain paths or (img, mask) path pairs. A custom load_fn means
+        # custom records — PIL thread-pool path.
+        self._native_shapes = None
+        if use_native is None:
+            use_native = load_fn is None
+        self._use_native = bool(use_native) and self._native_probe()
+
+    def _default_load(self, rec):
+        if isinstance(rec, (tuple, list)):
+            return tuple(load_image(osp.join(self.root, r)) for r in rec)
+        return load_image(osp.join(self.root, rec))
+
+    def _native_probe(self) -> bool:
+        from .. import native
+
+        if not self.files or not native.available():
+            return False
+        try:
+            rec = self.files[0]
+            recs = rec if isinstance(rec, (tuple, list)) else (rec,)
+            shapes = []
+            for r in recs:
+                if not isinstance(r, str):
+                    return False
+                h, w, c = native.probe(osp.join(self.root, r))
+                if c not in (1, 3):
+                    return False
+                shapes.append((h, w, c))
+            self._native_shapes = shapes
+            return True
+        except Exception:
+            return False
+
+    def _decode_batch_native(self, batch_files):
+        from .. import native
+
+        if isinstance(batch_files[0], (tuple, list)):
+            outs = []
+            for j, (h, w, c) in enumerate(self._native_shapes):
+                paths = [osp.join(self.root, rec[j]) for rec in batch_files]
+                outs.append(native.decode_batch(paths, h, w, c, self.num_threads))
+            return tuple(outs)
+        h, w, c = self._native_shapes[0]
+        paths = [osp.join(self.root, rec) for rec in batch_files]
+        return native.decode_batch(paths, h, w, c, self.num_threads)
 
     def __len__(self):
         n = len(self.files) // self.batch_size
@@ -116,6 +166,12 @@ class TileBatchLoader:
         def produce():
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for batch_files in self._batches(files):
+                    if self._use_native:
+                        try:
+                            q.put(self._decode_batch_native(batch_files))
+                            continue
+                        except Exception:
+                            self._use_native = False  # corrupt/odd file: fall back
                     arrays = list(pool.map(self.load_fn, batch_files))
                     if isinstance(arrays[0], tuple):
                         stacked = tuple(

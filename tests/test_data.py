@@ -184,6 +184,36 @@ class TestLoader:
         assert imgs.ndim == 4 and masks.ndim == 3
         assert imgs.shape[0] == len(groups[0].samples)
 
+    def test_native_fast_path_matches_pil(self, prepared):
+        """The C++ tileio batch decoder must be byte-identical to PIL and
+        engage automatically for path records."""
+        from msfwsi_tpu import native
+
+        if not native.available():
+            pytest.skip("native tileio unavailable")
+        out, df, _ = prepared
+        files = df["filename_img"].tolist()[:6]
+        fast = L.TileBatchLoader(out, files, batch_size=3, shuffle=False, seed=0)
+        slow = L.TileBatchLoader(out, files, batch_size=3, shuffle=False, seed=0, use_native=False)
+        assert fast._use_native
+        for a, b in zip(fast.epoch(0), slow.epoch(0)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_native_pair_records(self, prepared):
+        from msfwsi_tpu import native
+
+        if not native.available():
+            pytest.skip("native tileio unavailable")
+        out, df, _ = prepared
+        recs = list(zip(df["filename_img"], df["filename_mask"]))[:4]
+        loader = L.TileBatchLoader(out, recs, batch_size=2, shuffle=False, seed=0)
+        assert loader._use_native
+        imgs, masks = next(iter(loader.epoch(0)))
+        assert imgs.shape == (2, 128, 128, 3)
+        assert masks.shape == (2, 128, 128)
+        ref_img = L.load_image(os.path.join(out, recs[0][0]))
+        np.testing.assert_array_equal(np.asarray(imgs[0]), ref_img)
+
     def test_synthetic_library(self):
         imgs, masks, slides = L.synthetic_tile_library(
             n_slides=2, tiles_per_slide=3, tile_size=64

@@ -149,10 +149,7 @@ def main_worker(args):
             samples = D.paip_seg_samples(root, fold=args.fold, frac=args.frac)
             groups = D.paip_seg_val_slides(root, fold=args.fold)
         train_recs = [(s.img, s.mask) for s in samples]
-        load_fn = lambda rec: (
-            L.load_image(os.path.join(root, rec[0])),
-            L.load_image(os.path.join(root, rec[1])),
-        )
+        load_fn = None  # (img, mask) path pairs: loader's native fast path
 
         def iter_val_slides():
             for g in groups:
