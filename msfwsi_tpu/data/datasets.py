@@ -27,9 +27,7 @@ import dataclasses
 import json
 import os
 import random
-from typing import Sequence
 
-import numpy as np
 import pandas as pd
 
 __all__ = [

@@ -24,7 +24,7 @@ fuses the per-scale stacks into large MXU matmuls.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

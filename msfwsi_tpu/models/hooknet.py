@@ -20,7 +20,6 @@ TPU-first: NHWC, bf16 compute with fp32 params/BN stats; upsampling via
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Sequence
 
 import jax.numpy as jnp

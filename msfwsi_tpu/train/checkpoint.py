@@ -25,9 +25,6 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..models.backbone import MSFWSI
 from ..ops.losses import msfwsi_loss

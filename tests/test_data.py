@@ -214,6 +214,34 @@ class TestLoader:
         ref_img = L.load_image(os.path.join(out, recs[0][0]))
         np.testing.assert_array_equal(np.asarray(imgs[0]), ref_img)
 
+    def test_packed_cache_roundtrip(self, prepared, tmp_path):
+        from msfwsi_tpu.data import packed as PK
+
+        out, df, _ = prepared
+        files = df["filename_img"].tolist()[:6]
+        pack = PK.get_or_build_pack(out, files, str(tmp_path / "cache"))
+        assert len(pack) == 6
+        # byte-identical to direct decode, by path and by index
+        ref = L.load_image(os.path.join(out, files[2]))
+        np.testing.assert_array_equal(pack.load(files[2]), ref)
+        np.testing.assert_array_equal(pack.load(2), ref)
+        # second call reuses the cache (same key)
+        pack2 = PK.get_or_build_pack(out, files, str(tmp_path / "cache"))
+        assert pack2.key == pack.key
+
+    def test_packed_loader_end_to_end(self, prepared, tmp_path):
+        from msfwsi_tpu.data import packed as PK
+
+        out, df, _ = prepared
+        files = df["filename_img"].tolist()[:6]
+        pack = PK.get_or_build_pack(out, files, str(tmp_path / "cache2"))
+        loader = L.TileBatchLoader(out, files, batch_size=3, load_fn=pack.load, shuffle=False)
+        batches = list(loader.epoch(0))
+        assert batches[0].shape == (3, 128, 128, 3)
+        np.testing.assert_array_equal(
+            np.asarray(batches[0][0]), L.load_image(os.path.join(out, files[0]))
+        )
+
     def test_synthetic_library(self):
         imgs, masks, slides = L.synthetic_tile_library(
             n_slides=2, tiles_per_slide=3, tile_size=64

@@ -126,6 +126,20 @@ def main_worker(args):
     if args.quick_test:
         files = files[:7680]
 
+    if args.packed_cache and not args.synthetic:
+        from msfwsi_tpu.data.packed import get_or_build_pack
+
+        if camelyon is not None:
+            # Pack the full candidate pool once; per-epoch resampling then
+            # indexes into the pack by path.
+            pool = sorted(f for fs in camelyon.all_data.values() for f in fs)
+        else:
+            pool = files
+        logger.info(f"=> building/opening packed tile cache ({len(pool)} tiles)")
+        pack = get_or_build_pack(root, pool, args.packed_cache)
+        load_fn = pack.load
+        logger.info("=> streaming raw tiles from the packed cache (no decode)")
+
     loader = L.TileBatchLoader(
         root,
         files,
@@ -318,6 +332,9 @@ def build_parser():
     parser.add_argument("--imagenet-weights", type=str, default="",
                         help="local torchvision ResNet .pth to init both encoders "
                         "(the reference downloads these via torch.hub: pretrained=True)")
+    parser.add_argument("--packed-cache", type=str, default="",
+                        help="directory for a decode-once uint8 tile pack; training "
+                        "then streams raw bytes (no per-epoch PNG decode)")
     return parser
 
 
