@@ -1,7 +1,8 @@
 from .mesh import (  # noqa: F401
     MeshSpec,
-    make_mesh,
     batch_sharding,
+    initialize_distributed,
+    make_mesh,
     replicated,
     shard_batch,
 )

@@ -1,0 +1,109 @@
+"""Multi-host validation: two real processes over jax.distributed.
+
+Exercises the code paths single-process tests can't: `initialize_distributed`,
+rank-strided file sharding, and global-batch assembly via
+`make_array_from_process_local_data` — the TPU-pod data path, simulated with
+two CPU processes on localhost.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    proc_id = int(sys.argv[1])
+    coord = sys.argv[2]
+
+    from msfwsi_tpu.parallel import initialize_distributed
+
+    initialize_distributed(
+        coordinator_address=coord, num_processes=2, process_id=proc_id,
+        local_device_ids=[0],
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 2
+
+    import numpy as np
+    from msfwsi_tpu.data.loader import _shard_files, TileBatchLoader
+    from msfwsi_tpu.parallel import MeshSpec, batch_sharding, make_mesh
+
+    # Rank-strided sharding: the two processes must split the file list
+    # disjointly and deterministically.
+    files = [f"f{i}" for i in range(10)]
+    mine = _shard_files(files, epoch_seed=7, process_index=proc_id,
+                        process_count=2, shuffle=True)
+    assert len(mine) == 5
+    print(f"SHARD{proc_id}:{','.join(mine)}", flush=True)
+
+    # Global batch assembly across processes.
+    mesh = make_mesh(MeshSpec(data=2))
+    loader = TileBatchLoader(
+        "<mem>", list(range(8)), batch_size=4,
+        load_fn=lambda i: np.full((4, 4, 3), i, np.uint8),
+        shuffle=False, seed=0, sharding=batch_sharding(mesh),
+    )
+    batch = next(iter(loader.epoch(0)))
+    # global shape: per-process local batch (4) stacks to a global 8? No —
+    # batch_size is per host, so global first dim is 4*2 = 8.
+    assert batch.shape[0] == 8, batch.shape
+    total = float(batch.astype("float32").sum())
+    print(f"OK{proc_id}:{batch.shape[0]}:{total}", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_distributed(tmp_path):
+    port = 0
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    # Disjoint shards covering all files.
+    shards = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("SHARD"):
+                pid = int(line[5])
+                shards[pid] = set(line.split(":", 1)[1].split(","))
+    assert shards[0] | shards[1] == {f"f{i}" for i in range(10)}
+    assert not (shards[0] & shards[1])
+
+    # Both processes agree on the global batch.
+    oks = sorted(l for out in outs for l in out.splitlines() if l.startswith("OK"))
+    assert len(oks) == 2
+    assert oks[0].split(":")[1:] == oks[1].split(":")[1:]

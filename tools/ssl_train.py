@@ -140,10 +140,13 @@ def main_worker(args):
         load_fn = pack.load
         logger.info("=> streaming raw tiles from the packed cache (no decode)")
 
+    # Global batch divided per host (the reference divides per GPU,
+    # ssl_train.py:165); per-host shards assemble into the global array.
+    local_batch = args.batch_size // jax.process_count()
     loader = L.TileBatchLoader(
         root,
         files,
-        batch_size=args.batch_size,
+        batch_size=local_batch,
         load_fn=load_fn,
         seed=config.seed,
         sharding=batch_sharding(mesh),
