@@ -51,6 +51,33 @@ class TestFusedStepConsistency:
         assert flipped / total < 0.01
 
 
+class TestServingExport:
+    def test_stablehlo_roundtrip(self, tmp_path):
+        """Exported HookNet inference artifact must reproduce the live
+        model's predictions after a serialize/deserialize round trip."""
+        from msfwsi_tpu.train import serving
+
+        config = FT.FinetuneConfig(
+            arch="resnet18", class_names=("a", "b"), amp=False, seg_size=64
+        )
+        state = FT.create_finetune_state(jax.random.key(7), config, local_batch=1)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        path = serving.export_hooknet_serving(
+            state.model, variables, str(tmp_path / "hooknet.stablehlo"), chunk=2, size=64
+        )
+        infer = serving.load_serving_artifact(path)
+
+        rng = np.random.default_rng(8)
+        ctx = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+        tgt = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+        got = infer(ctx, tgt)
+
+        _, logits = state.model.apply(variables, ctx, tgt, train=False)
+        want = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 class TestShardedValidation:
     def test_sharded_slide_inference_matches_single(self):
         """Per-slide chunked inference sharded over the 8-device mesh must
