@@ -150,6 +150,13 @@ def main_worker(args):
             groups = D.paip_seg_val_slides(root, fold=args.fold)
         train_recs = [(s.img, s.mask) for s in samples]
         load_fn = None  # (img, mask) path pairs: loader's native fast path
+        if args.packed_cache:
+            from msfwsi_tpu.data.packed import get_or_build_pack
+
+            img_pack = get_or_build_pack(root, [r[0] for r in train_recs], args.packed_cache)
+            mask_pack = get_or_build_pack(root, [r[1] for r in train_recs], args.packed_cache)
+            load_fn = lambda rec: (img_pack.load(rec[0]), mask_pack.load(rec[1]))
+            logger.info("=> streaming raw tiles from the packed cache (no decode)")
 
         def iter_val_slides():
             for g in groups:
@@ -342,6 +349,8 @@ def build_parser():
     parser.add_argument("--steps-per-epoch", type=int, default=0)
     parser.add_argument("--seg-size", type=int, default=256,
                         help="context/target view size (reference: 256)")
+    parser.add_argument("--packed-cache", type=str, default="",
+                        help="directory for a decode-once uint8 tile pack")
     return parser
 
 
