@@ -256,6 +256,48 @@ def _reflect_pad_hw(img, pad: int):
     )
 
 
+def _blur_kmax(dtype, blur_limit, sigma_limit) -> int:
+    """Effective static tap budget. Half-precision images can't represent the
+    outermost taps' contribution: at sigma_max the tap at |t| carries
+    exp(-t^2/(2*sigma_max^2)) of the center weight — truncate taps below bf16
+    resolution (~2e-3) and renormalize (per-pixel error < 1e-3). For
+    sigma<=2 this caps the window at 17 taps, saving ~1/4 of the FMA passes.
+    """
+    kmax = blur_limit[1]
+    if dtype in (jnp.bfloat16, jnp.float16):
+        t_needed = int(math.ceil(sigma_limit[1] * math.sqrt(2.0 * math.log(1.0 / 2e-3))))
+        kmax = min(kmax, 2 * t_needed + 1)
+    return kmax
+
+
+def _blur_taps(key, B, blur_limit, sigma_limit, kmax):
+    """Per-sample normalized 1-D Gaussian taps (B, kmax), f32; taps beyond
+    the sampled odd ksize in ``blur_limit`` are zero-masked."""
+    half = kmax // 2
+    k_size, k_sigma = jax.random.split(key)
+    n_sizes = (blur_limit[1] - blur_limit[0]) // 2 + 1
+    ksize = blur_limit[0] + 2 * jax.random.randint(k_size, (B,), 0, n_sizes)
+    sigma = jax.random.uniform(
+        k_sigma, (B,), minval=sigma_limit[0], maxval=sigma_limit[1]
+    )
+    taps = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    kern = jnp.exp(-0.5 * (taps[None, :] / sigma[:, None]) ** 2)
+    mask = jnp.abs(taps[None, :]) <= (ksize[:, None] // 2)
+    kern = jnp.where(mask, kern, 0.0)
+    return kern / jnp.sum(kern, axis=1, keepdims=True)
+
+
+def _sharpen_kern(key, B, alpha=(0.2, 0.5), lightness=(0.5, 1.0)):
+    """Per-sample albu Sharpen 3x3 kernels (B, 3, 3), f32."""
+    k_a, k_l = jax.random.split(key)
+    a = jax.random.uniform(k_a, (B, 1, 1), minval=alpha[0], maxval=alpha[1])
+    li = jax.random.uniform(k_l, (B, 1, 1), minval=lightness[0], maxval=lightness[1])
+    ident = jnp.zeros((3, 3)).at[1, 1].set(1.0)
+    effect = jnp.full((3, 3), -1.0)
+    effect = jnp.broadcast_to(effect, (B, 3, 3)).at[:, 1, 1].set(8.0 + li[:, 0, 0])
+    return (1.0 - a) * ident[None] + a * effect
+
+
 def gaussian_blur(key, img, blur_limit=(19, 23), sigma_limit=(0.1, 2.0), use_pallas=None):
     """albu GaussianBlur: random odd kernel size in ``blur_limit``, sigma in
     ``sigma_limit``; separable per-sample kernels.
@@ -267,28 +309,9 @@ def gaussian_blur(key, img, blur_limit=(19, 23), sigma_limit=(0.1, 2.0), use_pal
     formulation.
     """
     B, H, W, C = img.shape
-    kmax = blur_limit[1]
-    # Half-precision images can't represent the outermost taps' contribution
-    # anyway: at sigma_max the tap at |t| carries exp(-t^2/(2*sigma_max^2)) of
-    # the center weight — truncate taps below bf16 resolution (~4e-3) and
-    # renormalize. For sigma<=2 this caps the window at |t|<=7 (15 taps),
-    # saving ~1/3 of the FMA passes with a per-pixel error < 1e-3.
-    if img.dtype in (jnp.bfloat16, jnp.float16):
-        t_needed = int(math.ceil(sigma_limit[1] * math.sqrt(2.0 * math.log(1.0 / 2e-3))))
-        kmax = min(kmax, 2 * t_needed + 1)
+    kmax = _blur_kmax(img.dtype, blur_limit, sigma_limit)
     half = kmax // 2
-    k_size, k_sigma = jax.random.split(key)
-    n_sizes = (blur_limit[1] - blur_limit[0]) // 2 + 1
-    ksize = blur_limit[0] + 2 * jax.random.randint(k_size, (B,), 0, n_sizes)
-    sigma = jax.random.uniform(
-        k_sigma, (B,), minval=sigma_limit[0], maxval=sigma_limit[1]
-    )
-
-    taps = jnp.arange(-half, half + 1, dtype=jnp.float32)  # (kmax,)
-    kern = jnp.exp(-0.5 * (taps[None, :] / sigma[:, None]) ** 2)  # (B, kmax)
-    mask = jnp.abs(taps[None, :]) <= (ksize[:, None] // 2)
-    kern = jnp.where(mask, kern, 0.0)
-    kern = (kern / jnp.sum(kern, axis=1, keepdims=True)).astype(img.dtype)
+    kern = _blur_taps(key, B, blur_limit, sigma_limit, kmax).astype(img.dtype)
 
     # Measured on v5e: inside the fused aug+train jit the XLA shifted-FMA
     # chain fuses with the surrounding elementwise ops and beats the Pallas
@@ -318,13 +341,7 @@ def gaussian_blur(key, img, blur_limit=(19, 23), sigma_limit=(0.1, 2.0), use_pal
 def sharpen(key, img, alpha=(0.2, 0.5), lightness=(0.5, 1.0)):
     """albu Sharpen: 3x3 kernel = (1-a)*identity + a*effect(lightness)."""
     B, H, W, C = img.shape
-    k_a, k_l = jax.random.split(key)
-    a = jax.random.uniform(k_a, (B, 1, 1), minval=alpha[0], maxval=alpha[1])
-    li = jax.random.uniform(k_l, (B, 1, 1), minval=lightness[0], maxval=lightness[1])
-    ident = jnp.zeros((3, 3)).at[1, 1].set(1.0)
-    effect = jnp.full((3, 3), -1.0)
-    effect = jnp.broadcast_to(effect, (B, 3, 3)).at[:, 1, 1].set(8.0 + li[:, 0, 0])
-    kern = ((1.0 - a) * ident[None] + a * effect).astype(img.dtype)  # (B, 3, 3)
+    kern = _sharpen_kern(key, B, alpha, lightness).astype(img.dtype)  # (B, 3, 3)
 
     padded = _reflect_pad_hw(img, 1)
     out = jnp.zeros((B, H, W, C), img.dtype)
@@ -336,13 +353,40 @@ def sharpen(key, img, alpha=(0.2, 0.5), lightness=(0.5, 1.0)):
     return jnp.clip(out, 0.0, 1.0)
 
 
-def blur_or_sharpen(key, img, p: float = 0.5):
+def blur_or_sharpen(key, img, p: float = 0.5, use_pallas=None):
     """albu OneOf([GaussianBlur(p=.5), Sharpen(p=.5)], p=0.5): with prob 1-p
-    nothing; else 50/50 blur or sharpen (``ssl_train.py:179-185``)."""
-    B = img.shape[0]
+    nothing; else 50/50 blur or sharpen (``ssl_train.py:179-185``).
+
+    On TPU with half-precision images this dispatches to the fused Pallas
+    kernel (``ops/pallas/colorops.py``), which computes only the selected op
+    per sample in one VMEM pass — the XLA fallback must compute both ops
+    full-resolution for every sample and select.
+    """
+    B, H, W, C = img.shape
     k_apply, k_pick, k_blur, k_sharp = jax.random.split(key, 4)
     apply = jax.random.uniform(k_apply, (B, 1, 1, 1)) < p
     pick_blur = jax.random.uniform(k_pick, (B, 1, 1, 1)) < 0.5
+
+    if use_pallas is None:
+        from .pallas import colorops
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and C == 3
+            and H % 8 == 0
+            and W % 8 == 0
+            and _blur_kmax(img.dtype, (19, 23), (0.1, 2.0)) == colorops.KMAX17
+        )
+    if use_pallas:
+        from .pallas import colorops
+
+        kern = _blur_taps(k_blur, B, (19, 23), (0.1, 2.0), colorops.KMAX17)
+        sk = _sharpen_kern(k_sharp, B)
+        sel = jnp.where(
+            apply[:, 0, 0, 0], jnp.where(pick_blur[:, 0, 0, 0], 1, 2), 0
+        ).astype(jnp.int32)
+        return colorops.blur_or_sharpen_fused(img, kern, sk, sel)
+
     blurred = gaussian_blur(k_blur, img)
     sharped = sharpen(k_sharp, img)
     return jnp.where(apply, jnp.where(pick_blur, blurred, sharped), img)

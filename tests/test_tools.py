@@ -119,6 +119,38 @@ class TestToolSmoke:
         )
         assert "MICRO F1" in out
 
+    def test_evaluate_torch_checkpoint_cli(self, tmp_path):
+        """Full reverse-interop loop at CLI level: Flax HookNet -> exported
+        reference-format .pth.tar -> evaluate CLI consumes it."""
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from msfwsi_tpu.train import checkpoint as C
+        from msfwsi_tpu.train import finetune as FT
+
+        config = FT.FinetuneConfig(
+            arch="resnet18", class_names=tuple(FT.BCSS_CLASSES), amp=False, seg_size=64
+        )
+        state = FT.create_finetune_state(jax.random.key(0), config, local_batch=1)
+        sd = C.flax_hooknet_to_torch(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        ckpt = str(tmp_path / "exported_ft.pth.tar")
+        C.save_torch_file(ckpt, sd)
+
+        out = run_tool(
+            "evaluate.py",
+            "--synthetic", "2",
+            "--val-chunk", "4",
+            "--seg-size", "64",
+            "--seed", "0",
+            "--data-name", "bcss",
+            "--weights", ckpt,
+            "--log-dir", str(tmp_path / "ev"),
+        )
+        assert "MICRO F1" in out
+        assert "loaded pretrained weights" in out
+
     def test_ssl_train_camelyon_manifest(self, tmp_path):
         """Camelyon16 path: dataset.json manifest + per-epoch resampling in
         the driver (ssl_train.py:354-361 parity)."""
