@@ -71,7 +71,7 @@ class BasicBlock(nn.Module):
     norm: ModuleDef = nn.BatchNorm
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
         conv = functools.partial(
             nn.Conv,
             use_bias=False,
@@ -113,7 +113,7 @@ class Bottleneck(nn.Module):
     norm: ModuleDef = nn.BatchNorm
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
         conv = functools.partial(
             nn.Conv,
             use_bias=False,
@@ -197,7 +197,9 @@ class ResNet(nn.Module):
             param_dtype=jnp.float32,
             axis_name=None,  # GSPMD: global batch stats come from sharded jnp.mean
         )
-        block_cls = nn.remat(self.block_cls, static_argnums=()) if self.remat else self.block_cls
+        # static_argnums=(2,): `train` is a Python bool steering BatchNorm
+        # mode — it must stay static through the remat boundary.
+        block_cls = nn.remat(self.block_cls, static_argnums=(2,)) if self.remat else self.block_cls
 
         x = x.astype(self.dtype)
         x = nn.Conv(
@@ -234,7 +236,7 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     norm=norm,
                     name=f"layer{i + 1}_{j}",
-                )(x, train=train)
+                )(x, train)
             stage_outs.append(x)
 
         if features == "pyramid":

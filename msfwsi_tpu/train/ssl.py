@@ -182,16 +182,22 @@ def ssl_train_step(state: SSLTrainState, batch, fuser_weights: Sequence[float]):
     return new_state, metrics
 
 
-def make_jitted_train_step(config: SSLConfig, mesh=None, donate: bool = True):
-    """Compile the train step; with a mesh, shard the batch over "data" and
-    replicate state (XLA then emits the ICI gradient reduction)."""
+def make_jitted_train_step(
+    config: SSLConfig, mesh=None, donate: bool = True, model_parallel: bool = False
+):
+    """Compile the train step. With a mesh: batch sharded over "data",
+    state replicated (XLA emits the ICI gradient reduction). With
+    ``model_parallel`` the state is expected to be pre-placed (see
+    ``parallel.tp.shard_ssl_state`` — fuser weights split over "model");
+    shardings are then inferred from the argument placements and XLA
+    propagates the TP collectives."""
     fuser_weights = tuple(config.fuser_weights)
 
     def step(state, batch):
         return ssl_train_step(state, batch, fuser_weights)
 
     kwargs = {}
-    if mesh is not None:
+    if mesh is not None and not model_parallel:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
