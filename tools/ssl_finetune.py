@@ -122,7 +122,10 @@ def main_worker(args):
             logger.info(f"=> wandb unavailable, continuing without it: {e}")
 
     aug_cfg = AugConfig(
-        mean=tuple(args.mean), std=tuple(args.std), seg_size=args.seg_size
+        mean=tuple(args.mean),
+        std=tuple(args.std),
+        seg_size=args.seg_size,
+        compute_dtype="bfloat16" if args.amp else "float32",
     )
 
     # ---- data -----------------------------------------------------------

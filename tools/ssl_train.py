@@ -92,6 +92,9 @@ def main_worker(args):
         img_size=args.img_sz,
         grid=args.scale,
         tile_px=args.tile_px,
+        # Under --amp the whole augmentation pipeline also runs bf16 (halves
+        # the full-resolution color-op HBM traffic).
+        compute_dtype="bfloat16" if args.amp else "float32",
     )
 
     # ---- data -----------------------------------------------------------
