@@ -119,6 +119,43 @@ class TestToolSmoke:
         )
         assert "MICRO F1" in out
 
+    def test_ssl_train_bcss_from_disk(self, tmp_path):
+        """The real-data path end to end: bcss_prepare output -> fold
+        manifest -> native decode -> training (+ packed cache on 2nd run)."""
+        import numpy as np
+        from PIL import Image
+
+        raw = tmp_path / "raw"
+        os.makedirs(raw / "images")
+        os.makedirs(raw / "masks")
+        rng = np.random.default_rng(0)
+        # Slide codes outside fold-0's val set so everything is train data.
+        for name in ("TCGA-XX-1", "TCGA-YY-2"):
+            img = rng.integers(0, 255, (300, 300, 3), dtype=np.uint8)
+            mask = (rng.integers(0, 22, (300, 300))).astype(np.uint8)
+            Image.fromarray(img).save(raw / "images" / f"{name}.png")
+            Image.fromarray(mask).save(raw / "masks" / f"{name}.png")
+        run_tool(
+            "bcss_prepare.py",
+            "-p", str(raw), "-o", str(tmp_path / "prep"), "-s", "128",
+        )
+        out = run_tool(
+            "ssl_train.py",
+            "--data-name", "bcss",
+            "--data", str(tmp_path / "prep"),
+            "--scale", "2", "--img-sz", "32", "--tile-px", "64",
+            "-b", "8", "--epochs", "1", "--save-freq", "1", "--seed", "0",
+            "--fold", "0",
+            "--packed-cache", str(tmp_path / "cache"),
+            "--log-dir", str(tmp_path / "run"),
+        )
+        assert "BEST LOSS" in out
+        assert "packed tile cache" in out
+        # pack built on disk
+        import glob
+
+        assert glob.glob(str(tmp_path / "cache" / "pack_*.npy"))
+
     def test_evaluate_torch_checkpoint_cli(self, tmp_path):
         """Full reverse-interop loop at CLI level: Flax HookNet -> exported
         reference-format .pth.tar -> evaluate CLI consumes it."""
