@@ -16,6 +16,8 @@ loss read (a full device->host fetch is pathologically slow through the
 axon tunnel and block_until_ready alone under-synchronizes).
 
 Env knobs: BENCH_ARCH, BENCH_BATCH, BENCH_ITERS, BENCH_WARMUP,
+BENCH_USE_AC=1 (remat), BENCH_INTER_OPT=adam|adafactor (factored fuser-head
+optimizer state — required to fit resnet50's ~1.6B-param heads on one v5e),
 BENCH_MODE=pipeline|step|hooknet|infer
   pipeline: default headline (aug + SSL train step, tiles/sec/chip)
   step:     SSL train step only on pre-built views
@@ -53,7 +55,15 @@ def main():
     if mode in ("hooknet", "infer"):
         return hooknet_bench(mode, arch, batch, iters, warmup, rng)
 
-    config = S.SSLConfig(arch=arch, scale=4, img_size=224, batch_size=batch, amp=True)
+    config = S.SSLConfig(
+        arch=arch,
+        scale=4,
+        img_size=224,
+        batch_size=batch,
+        amp=True,
+        use_ac=os.environ.get("BENCH_USE_AC", "0") == "1",
+        inter_opt=os.environ.get("BENCH_INTER_OPT", "adam"),
+    )
     K = config.scale**2
     state = S.create_ssl_state(jax.random.key(0), config)
 
@@ -96,7 +106,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"ssl_pretrain_e2e_tile_views_per_sec_per_chip[{arch},b{batch},scale4,224px,{mode}]",
+                "metric": f"ssl_pretrain_e2e_tile_views_per_sec_per_chip[{arch},b{batch},scale4,224px,{mode}"
+                + (",ac" if config.use_ac else "")
+                + (",adafactor" if config.inter_opt != "adam" else "")
+                + "]",
                 "value": round(tiles_per_sec_chip, 2),
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(tiles_per_sec_chip / BASELINE_TILES_PER_SEC, 4),

@@ -52,6 +52,15 @@ class SSLConfig:
     img_size: int = 224
     amp: bool = True  # bf16 compute
     use_ac: bool = False  # activation checkpointing (remat)
+    # Optimizer for the inter_ (fuser) head group. "adam" matches the
+    # reference (``ssl_train.py:301-309``). "adafactor" stores a factored
+    # second moment instead of Adam's dense m/v — for resnet50-class
+    # encoders the fuser heads are ~1.6B params (three d^2 matrices at
+    # d=2048*(n_keep+1)=18432 for the last stage), so dense Adam state
+    # alone exceeds a 16 GB v5e; factored state makes single-small-chip
+    # training possible. On large-HBM chips (v5p) or under the fuser-head
+    # TP sharding (parallel/tp.py) "adam" remains the default.
+    inter_opt: str = "adam"
 
     @property
     def init_lr(self) -> float:
@@ -102,6 +111,17 @@ def make_ssl_optimizer(config: SSLConfig) -> optax.GradientTransformation:
         name: optax.adam(init_lr * m, b1=0.9, b2=0.999, eps=1e-8)
         for name, m in zip(("context", "target", "inter"), config.ms_lr)
     }
+    if config.inter_opt == "adafactor":
+        # Factored second moment, no first moment: O(rows+cols) state for
+        # the d^2 fuser matrices instead of O(2*d^2). See SSLConfig.inter_opt.
+        groups["inter"] = optax.adafactor(
+            learning_rate=init_lr * config.ms_lr[2],
+            multiply_by_parameter_scale=False,
+            clipping_threshold=None,
+            eps=1e-8,
+        )
+    elif config.inter_opt != "adam":
+        raise ValueError(f"unknown inter_opt {config.inter_opt!r}")
 
     def label_fn(params):
         return jax.tree_util.tree_map_with_path(lambda path, _: _param_group(path), params)

@@ -117,7 +117,7 @@ def main_worker(args):
         root = args.data
     elif args.data_name == "camelyon16":
         camelyon = D.Camelyon16Manifest(
-            args.data, mode="train", seed=config.seed
+            args.data, mode=args.c16_mode, seed=config.seed
         )
         files = camelyon.resample(0)
         load_fn = None
@@ -158,9 +158,24 @@ def main_worker(args):
 
     # ---- state ----------------------------------------------------------
     state = S.create_ssl_state(jax.random.key(config.seed), config)
-    if args.imagenet_weights:
-        state = S.load_imagenet_encoders(state, C.load_torch_file(args.imagenet_weights))
-        logger.info(f"=> initialized encoders from ImageNet weights {args.imagenet_weights}")
+    # ImageNet init is the reference default (backbone.py:58-63 always builds
+    # encoders with pretrained=True); --imagenet-weights none opts out.
+    if args.imagenet_weights != "none":
+        from msfwsi_tpu.utils.imagenet import resolve_imagenet_weights, search_dirs
+
+        explicit = "" if args.imagenet_weights == "auto" else args.imagenet_weights
+        weights_path = resolve_imagenet_weights(config.arch, explicit)
+        if weights_path is not None:
+            state = S.load_imagenet_encoders(state, C.load_torch_file(weights_path))
+            logger.info(f"=> initialized encoders from ImageNet weights {weights_path}")
+        else:
+            logger.warning(
+                f"=> ImageNet weights for {config.arch} not found locally and "
+                f"download failed: PRETRAINING FROM RANDOM INIT. The reference "
+                f"always uses pretrained=True; place the torchvision .pth in "
+                f"$MSFWSI_IMAGENET_DIR (searched: {search_dirs()}) or pass "
+                f"--imagenet-weights <path> (or 'none' to silence this)."
+            )
     start_epoch = args.start_epoch
     if args.resume:
         if os.path.exists(args.resume):
@@ -269,6 +284,19 @@ def main_worker(args):
     if tb_writer is not None:
         tb_writer.close()
     if wandb_run is not None:
+        # Reference copies the run log into the wandb dir before finishing
+        # (ssl_train.py:394-405).
+        try:
+            import shutil
+
+            log_txt = os.path.join(args.log_dir, "log.txt")
+            if os.path.exists(log_txt):
+                shutil.copyfile(
+                    log_txt, os.path.join(wandb_run.dir, "train_output.log")
+                )
+                logger.info("=> Log is copied into Wandb folder!")
+        except Exception as e:  # noqa: BLE001
+            logger.info(f"=> wandb log copy failed: {e}")
         wandb_run.finish()
 
 
@@ -299,6 +327,9 @@ def build_parser():
     # Data settings
     parser.add_argument("--data-name", type=str)
     parser.add_argument("--data", metavar="DIR", help="path to dataset")
+    parser.add_argument("--c16-mode", type=str, default="train", choices=("train", "all"),
+                        help="Camelyon16 slide pool: train = train_ids only (reference "
+                        "CLI default), all = imagesTr + imagesTs (camelyon.py:56-83)")
     parser.add_argument("--mean", nargs=3, type=float, default=[0.485, 0.456, 0.406])
     parser.add_argument("--std", nargs=3, type=float, default=[0.229, 0.224, 0.225])
     parser.add_argument("-i", "--img-sz", type=int, default=224)
@@ -335,9 +366,11 @@ def build_parser():
                         help="target sub-tile size before per-tile RRC (reference: 256)")
     parser.add_argument("--profile-steps", type=int, default=0,
                         help="trace the first N steps with jax.profiler into <log-dir>/profile")
-    parser.add_argument("--imagenet-weights", type=str, default="",
-                        help="local torchvision ResNet .pth to init both encoders "
-                        "(the reference downloads these via torch.hub: pretrained=True)")
+    parser.add_argument("--imagenet-weights", type=str, default="auto",
+                        help="ImageNet init for both encoders (reference default: "
+                        "pretrained=True via torch.hub). 'auto' = search "
+                        "$MSFWSI_IMAGENET_DIR / caches then try downloading; "
+                        "'none' = random init; or a local torchvision .pth path")
     parser.add_argument("--packed-cache", type=str, default="",
                         help="directory for a decode-once uint8 tile pack; training "
                         "then streams raw bytes (no per-epoch PNG decode)")
