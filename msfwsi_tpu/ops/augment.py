@@ -35,6 +35,7 @@ __all__ = [
     "ColorJitterConfig",
     "rgb_to_grayscale",
     "color_jitter",
+    "apply_color_jitter",
     "to_gray",
     "gaussian_blur",
     "sharpen",
@@ -162,6 +163,16 @@ def color_jitter(key, img, cfg: ColorJitterConfig = ColorJitterConfig(), method:
     B = img.shape[0]
     dt = img.dtype
     fb, fc, fs, fh, perm, apply = _sample_jitter_params(key, B, cfg, dt)
+    return apply_color_jitter(img, fb, fc, fs, fh, perm, apply, method=method)
+
+
+def apply_color_jitter(img, fb, fc, fs, fh, perm, apply, method: str = "fused"):
+    """:func:`color_jitter` with injected per-sample parameters (the oracle
+    tests drive this directly with chosen factors). Shapes: fb/fc/fs/apply
+    (B,1,1,1), fh (B,1,1), perm (B,4) with op ids 0=brightness 1=contrast
+    2=saturation 3=hue."""
+    B = img.shape[0]
+    dt = img.dtype
 
     if method == "sequential":
         def op_brightness(x):
@@ -485,8 +496,13 @@ def _axis_resample_indices(start, size, src_len: int, out_len: int):
     coords = (jnp.arange(out_len, dtype=jnp.float32)[None, :] + 0.5) * scalef[
         :, None
     ] - 0.5 + startf[:, None]
-    # cv2 clamps sample coords to the crop box then the image border; with
-    # crops fully inside the image, clamping to the image border is enough.
+    # Resizing a *crop* must replicate the crop's own border (cv2.resize on
+    # the cropped array never sees pixels outside it). When upscaling, the
+    # half-pixel grid extends ±scale/2 beyond the crop edges — clamp to the
+    # crop box, not the image border, or edge rows leak neighboring pixels.
+    coords = jnp.clip(
+        coords, startf[:, None], startf[:, None] + size.astype(jnp.float32)[:, None] - 1.0
+    )
     coords = jnp.clip(coords, 0.0, src_len - 1.0)
     lo = jnp.floor(coords)
     frac = coords - lo
