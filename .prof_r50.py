@@ -1,0 +1,22 @@
+import os, time
+import jax, jax.numpy as jnp, numpy as np
+from msfwsi_tpu.data.pipeline import AugConfig
+from msfwsi_tpu.train import ssl as S
+
+B = int(os.environ.get("B", "16"))
+config = S.SSLConfig(arch=os.environ.get("ARCH","resnet50"), scale=4, img_size=224,
+                     batch_size=B, amp=True, use_ac=True, inter_opt="adafactor")
+aug_cfg = AugConfig(compute_dtype="bfloat16")
+rng = np.random.default_rng(0)
+tiles = jnp.asarray(rng.integers(0, 255, size=(B, 1024, 1024, 3), dtype=np.uint8))
+state = S.create_ssl_state(jax.random.key(0), config)
+step = S.make_jitted_fused_step(config, aug_cfg, donate=True)
+for i in range(2):
+    state, m = step(state, tiles, jax.random.fold_in(jax.random.key(1), i))
+print("warm loss", float(m["loss"]))
+jax.profiler.start_trace("/tmp/r50_trace")
+for i in range(3):
+    state, m = step(state, tiles, jax.random.fold_in(jax.random.key(2), i))
+print("prof loss", float(m["loss"]))
+jax.profiler.stop_trace()
+print("done")

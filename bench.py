@@ -63,6 +63,7 @@ def main():
         amp=True,
         use_ac=os.environ.get("BENCH_USE_AC", "0") == "1",
         inter_opt=os.environ.get("BENCH_INTER_OPT", "adam"),
+        inter_dtype=os.environ.get("BENCH_INTER_DTYPE", "float32"),
     )
     K = config.scale**2
     state = S.create_ssl_state(jax.random.key(0), config)
@@ -109,6 +110,7 @@ def main():
                 "metric": f"ssl_pretrain_e2e_tile_views_per_sec_per_chip[{arch},b{batch},scale4,224px,{mode}"
                 + (",ac" if config.use_ac else "")
                 + (",adafactor" if config.inter_opt != "adam" else "")
+                + (",interbf16" if config.inter_dtype == "bfloat16" else "")
                 + "]",
                 "value": round(tiles_per_sec_chip, 2),
                 "unit": "tiles/sec/chip",
@@ -149,17 +151,22 @@ def hooknet_bench(mode, arch, batch, iters, warmup, rng):
         base = 0.0
     else:
         chunk = batch
+        C = len(config.class_names)  # foreground classes, as in the eval CLIs
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         ctx = jnp.asarray(rng.normal(size=(chunk, 256, 256, 3)), jnp.float32)
         tgt = jnp.asarray(rng.normal(size=(chunk, 256, 256, 3)), jnp.float32)
-        fwd = EV.make_chunk_forward(state.model, chunk=chunk)
+        masks = jnp.asarray(rng.integers(0, C + 1, size=(chunk, 256, 256)), jnp.int32)
+        # Eval path: on-device confusion-stat accumulation (predictions
+        # never fetched to the host — see train/evaluate.make_chunk_stats).
+        fwd = EV.make_chunk_stats(state.model, C, chunk=chunk)
+        acc = jnp.zeros((4, C), jnp.int32)
         for _ in range(warmup):
-            pred = fwd(variables, ctx, tgt)
-        int(pred[0, 0, 0])
+            acc = fwd(variables, ctx, tgt, masks, acc)
+        int(acc[0, 0])
         t0 = time.perf_counter()
         for _ in range(iters):
-            pred = fwd(variables, ctx, tgt)
-        int(pred[0, 0, 0])
+            acc = fwd(variables, ctx, tgt, masks, acc)
+        int(acc[0, 0])
         dt = time.perf_counter() - t0
         value = chunk * iters / dt / jax.device_count()
         metric = f"hooknet_inference_tiles_per_sec_per_chip[{arch},chunk{chunk},256px]"

@@ -74,6 +74,7 @@ class TileBatchLoader:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = True,
+        pad_last: bool = False,
         num_threads: int = 8,
         prefetch: int = 2,
         sharding=None,
@@ -86,6 +87,12 @@ class TileBatchLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # pad_last (requires drop_last=False): wrap-pad the trailing partial
+        # batch to full batch_size with samples from the epoch's start, so
+        # every batch has the same static shape under a sharded mesh. The
+        # training step masks the padded suffix out of the loss (see
+        # train/finetune.py); use last_batch_valid() for the real count.
+        self.pad_last = pad_last
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.sharding = sharding
@@ -145,10 +152,22 @@ class TileBatchLoader:
     def _batches(self, files):
         n = len(files)
         stop = n - n % self.batch_size if self.drop_last else n
-        for i in range(0, stop, self.batch_size):
+        for i in range(0, stop - stop % self.batch_size, self.batch_size):
             yield files[i : i + self.batch_size]
-        if not self.drop_last and stop < n:
-            yield files[stop:]
+        rem = stop % self.batch_size
+        if rem:
+            tail = files[stop - rem :]
+            if self.pad_last:
+                need = self.batch_size - rem
+                wrap = (files * (need // max(1, len(files)) + 1))[:need]
+                tail = tail + wrap
+            yield tail
+
+    def last_batch_valid(self) -> int:
+        """Number of real (non-padded) samples in the final batch of an
+        epoch (== batch_size when the dataset divides evenly)."""
+        rem = len(self.files) % self.batch_size
+        return rem if (rem and not self.drop_last) else self.batch_size
 
     def epoch(self, epoch: int = 0) -> Iterator:
         """Yield one epoch of batches (device arrays)."""

@@ -42,6 +42,7 @@ class Projector(nn.Module):
 
     out_dim: int
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -49,7 +50,7 @@ class Projector(nn.Module):
             d,
             use_bias=False,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
+            param_dtype=self.param_dtype,
             kernel_init=torch_linear_init,
             name=name,
         )
@@ -76,6 +77,7 @@ class Predictor(nn.Module):
 
     hidden_dim: int
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -85,7 +87,7 @@ class Predictor(nn.Module):
             self.hidden_dim,
             use_bias=False,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
+            param_dtype=self.param_dtype,
             kernel_init=torch_linear_init,
             name="fc1",
         )(x)
@@ -101,7 +103,7 @@ class Predictor(nn.Module):
         x = nn.Dense(
             in_dim,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
+            param_dtype=self.param_dtype,
             kernel_init=torch_linear_init,
             bias_init=torch_linear_init,
             name="fc2",
@@ -135,6 +137,13 @@ class MSFWSI(nn.Module):
     mask_ratio: float = 0.5
     dtype: Any = jnp.float32
     remat: bool = False
+    # Storage dtype of the fuser (inter_) head parameters. fp32 matches the
+    # reference; bf16 is the single-small-chip option for resnet50-class
+    # encoders, where these heads are ~1.6B params: it removes the fp32
+    # weights' per-use bf16 casts (which XLA rematerializes repeatedly under
+    # HBM pressure) and halves gradient/optimizer HBM traffic. BN params in
+    # the heads stay fp32 either way.
+    inter_param_dtype: Any = jnp.float32
 
     @property
     def K(self) -> int:
@@ -154,11 +163,17 @@ class MSFWSI(nn.Module):
 
         self.context_projector = [Projector(d, dtype=self.dtype, name=f"context_projector_{i}") for i, d in enumerate(inter_dim)]
         self.target_projector = [Projector(d, dtype=self.dtype, name=f"target_projector_{i}") for i, d in enumerate(inter_dim)]
-        self.inter_projector = [Projector(d, dtype=self.dtype, name=f"inter_projector_{i}") for i, d in enumerate(ms_inter_dim)]
+        self.inter_projector = [
+            Projector(d, dtype=self.dtype, param_dtype=self.inter_param_dtype, name=f"inter_projector_{i}")
+            for i, d in enumerate(ms_inter_dim)
+        ]
 
         self.context_predictor = [Predictor(d // 4, dtype=self.dtype, name=f"context_predictor_{i}") for i, d in enumerate(inter_dim)]
         self.target_predictor = [Predictor(d // 4, dtype=self.dtype, name=f"target_predictor_{i}") for i, d in enumerate(inter_dim)]
-        self.inter_predictor = [Predictor(d // 4, dtype=self.dtype, name=f"inter_predictor_{i}") for i, d in enumerate(ms_inter_dim)]
+        self.inter_predictor = [
+            Predictor(d // 4, dtype=self.dtype, param_dtype=self.inter_param_dtype, name=f"inter_predictor_{i}")
+            for i, d in enumerate(ms_inter_dim)
+        ]
 
     def encode_context(self, x, *, train: bool):
         return self.context_encoder(x, train=train, features="pooled")

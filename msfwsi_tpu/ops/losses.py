@@ -67,6 +67,7 @@ def dice_loss(
     classes: Sequence[int] | None = None,
     smooth: float = 0.0,
     eps: float = 1e-7,
+    sample_mask=None,
 ):
     """Multiclass soft Dice loss on logits (smp-compatible).
 
@@ -75,6 +76,10 @@ def dice_loss(
       target: (N, H, W) integer class map in [0, C).
       classes: class indices to average the loss over (the reference passes
         ``[1..C]`` to exclude background 0); ``None`` averages all classes.
+      sample_mask: optional (N,) bool/float — samples with 0 contribute to
+        no sum (their probs *and* one-hot targets are zeroed), so the loss
+        over a padded batch equals the loss over the unpadded batch exactly
+        (restores the reference's drop_last=False under static shapes).
 
     Per class c: ``dice_c = 2*sum(p_c * 1[y=c]) / max(sum(p_c + 1[y=c]), eps)``
     with sums over (batch, pixels); ``loss_c = 1 - dice_c``, zeroed when class
@@ -86,6 +91,10 @@ def dice_loss(
     num_classes = logits.shape[-1]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     onehot = jnp.equal(target[..., None], jnp.arange(num_classes)).astype(jnp.float32)
+    if sample_mask is not None:
+        m = sample_mask.astype(jnp.float32)[:, None, None, None]
+        probs = probs * m
+        onehot = onehot * m
 
     dims = (0, 1, 2)  # batch + spatial: smp's dims=(0, 2) on (N, C, HW)
     intersection = jnp.sum(probs * onehot, axis=dims)

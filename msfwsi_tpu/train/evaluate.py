@@ -27,7 +27,13 @@ import numpy as np
 
 from ..ops.metrics import accuracy, f1_score, get_stats, iou_score
 
-__all__ = ["make_chunk_forward", "validate_slide", "validate", "SlideScores"]
+__all__ = [
+    "make_chunk_forward",
+    "make_chunk_stats",
+    "validate_slide",
+    "validate",
+    "SlideScores",
+]
 
 
 def make_chunk_forward(model, chunk: int = 128, mesh=None):
@@ -55,6 +61,49 @@ def make_chunk_forward(model, chunk: int = 128, mesh=None):
     )
 
 
+def make_chunk_stats(model, num_classes: int, chunk: int = 128, mesh=None):
+    """Jitted forward + confusion-stat accumulation over one chunk.
+
+    Returns a function ``(variables, ctx, tgt, masks, acc) -> acc`` where
+    ``acc`` is a stacked (4, num_classes) int32 array of running
+    tp/fp/fn/tn sums. Predictions never leave the device — only the final
+    tiny accumulator is fetched per slide. (The previous design pulled the
+    full (chunk, H, W) prediction maps to the host every chunk; through the
+    axon tunnel a big-array fetch is pathologically slow, and on any
+    hardware it wastes PCIe/ICI bandwidth — ``/root/reference``'s
+    ``evaluate.py:270-291`` has the same host round-trip via ``.cpu()``.)
+
+    Padded tiles (zero masks) contribute nothing: every pixel of a padded
+    tile has target-1 == -1 == ignore_index, so its tp/fp/fn/tn rows are
+    exactly zero — the smp ignore semantics double as the padding mask.
+    """
+
+    def stats_impl(variables, ctx, tgt, masks, acc):
+        _, tgt_logits = model.apply(variables, ctx, tgt, train=False)
+        pred = jnp.argmax(tgt_logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        tp, fp, fn, tn = get_stats(
+            pred - 1,
+            masks.astype(jnp.int32) - 1,
+            num_classes=num_classes,
+            ignore_index=-1,
+        )
+        new = jnp.stack([tp.sum(0), fp.sum(0), fn.sum(0), tn.sum(0)])
+        return acc + new
+
+    if mesh is None:
+        return jax.jit(stats_impl)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        stats_impl,
+        in_shardings=(repl, data, data, data, repl),
+        out_shardings=repl,
+    )
+
+
 def _pad_to_multiple(arr: np.ndarray, chunk: int):
     n = arr.shape[0]
     pad = (-n) % chunk
@@ -64,7 +113,7 @@ def _pad_to_multiple(arr: np.ndarray, chunk: int):
 
 
 def validate_slide(
-    forward: Callable,
+    stats_fn: Callable,
     variables,
     context_tiles: np.ndarray,
     target_tiles: np.ndarray,
@@ -72,29 +121,33 @@ def validate_slide(
     num_classes: int,
     chunk: int = 128,
 ):
-    """Evaluate one slide; returns (micro dict, per-class tp/fp/fn/tn sums)."""
-    ctx, n = _pad_to_multiple(np.asarray(context_tiles), chunk)
+    """Evaluate one slide; returns (micro dict, per-class tp/fp/fn/tn sums).
+
+    ``stats_fn`` is a :func:`make_chunk_stats` function. Chunks are
+    dispatched back-to-back with the accumulator staying on device; the
+    single host fetch happens at the end of the slide.
+    """
+    ctx, _ = _pad_to_multiple(np.asarray(context_tiles), chunk)
     tgt, _ = _pad_to_multiple(np.asarray(target_tiles), chunk)
-    masks = np.asarray(target_masks)
+    masks, _ = _pad_to_multiple(np.asarray(target_masks).astype(np.int32), chunk)
 
-    preds = []
+    acc = jnp.zeros((4, num_classes), jnp.int32)
     for i in range(0, ctx.shape[0], chunk):
-        preds.append(np.asarray(forward(variables, ctx[i : i + chunk], tgt[i : i + chunk])))
-    pred = np.concatenate(preds, axis=0)[:n]
-
-    tp, fp, fn, tn = get_stats(
-        jnp.asarray(pred) - 1,
-        jnp.asarray(masks.astype(np.int32)) - 1,
-        num_classes=num_classes,
-        ignore_index=-1,
-    )
+        acc = stats_fn(
+            variables,
+            ctx[i : i + chunk],
+            tgt[i : i + chunk],
+            masks[i : i + chunk],
+            acc,
+        )
+    sums = np.asarray(acc)  # (4, C) — the only device->host fetch
+    tp, fp, fn, tn = (jnp.asarray(s) for s in sums)
     micro = {
         "f1": float(f1_score(tp, fp, fn, tn, reduction="micro")),
         "iou": float(iou_score(tp, fp, fn, tn, reduction="micro")),
         "acc": float(accuracy(tp, fp, fn, tn, reduction="micro")),
     }
-    sums = tuple(np.asarray(x.sum(0)) for x in (tp, fp, fn, tn))
-    return micro, sums
+    return micro, tuple(sums)
 
 
 class SlideScores:
@@ -143,9 +196,9 @@ def validate(
     Returns the summary dict: micro means over slides + per-class means —
     the numbers the reference logs at ``evaluate.py:226-237``.
     """
-    forward = forward or make_chunk_forward(model, chunk)
     scores = SlideScores(class_names)
     num_classes = len(list(class_names))
+    forward = forward or make_chunk_stats(model, num_classes, chunk)
     for ctx, tgt, masks in slides:
         micro, sums = validate_slide(
             forward, variables, ctx, tgt, masks, num_classes=num_classes, chunk=chunk

@@ -137,6 +137,7 @@ def load_ssl_encoders(state: SegTrainState, ssl_variables) -> SegTrainState:
 
 def finetune_loss_fn(model, params, batch_stats, batch, lam: float, num_fg: int):
     classes = list(range(1, num_fg + 1))
+    valid = batch.get("valid")  # (N,) mask for wrap-padded trailing batches
     (ctx_logits, tgt_logits), mutated = model.apply(
         {"params": params, "batch_stats": batch_stats},
         batch["context"],
@@ -145,8 +146,8 @@ def finetune_loss_fn(model, params, batch_stats, batch, lam: float, num_fg: int)
         mutable=["batch_stats"],
     )
     loss = (1.0 - lam) * dice_loss(
-        ctx_logits, batch["context_mask"], classes=classes
-    ) + lam * dice_loss(tgt_logits, batch["target_mask"], classes=classes)
+        ctx_logits, batch["context_mask"], classes=classes, sample_mask=valid
+    ) + lam * dice_loss(tgt_logits, batch["target_mask"], classes=classes, sample_mask=valid)
     return loss, (tgt_logits, mutated["batch_stats"])
 
 
@@ -201,9 +202,18 @@ def make_jitted_fused_finetune_step(config: FinetuneConfig, aug_cfg, mesh=None, 
     lam = float(config.lam)
     num_fg = len(config.class_names)
 
-    def step(state, imgs_u8, masks_u8, key):
+    def step(state, imgs_u8, masks_u8, key, valid=None):
+        """``valid``: (B,) bool — False marks wrap-padded samples in the
+        trailing partial batch; they are excluded from the Dice loss exactly
+        (drop_last=False parity, reference ``ssl_finetune.py:276``). Their
+        metric rows come back unmasked — callers slice them off (padding is
+        always a suffix). Padded slots hold wrapped *real* images, so BN
+        batch statistics stay in-distribution (documented minor deviation:
+        that one step's BN stats are computed over a resampled batch)."""
         (ctx, tgt), (cm, tm) = make_seg_train_views(key, imgs_u8, masks_u8, aug_cfg)
         batch = {"context": ctx, "target": tgt, "context_mask": cm, "target_mask": tm}
+        if valid is not None:
+            batch["valid"] = valid
         return finetune_train_step(state, batch, lam, num_fg)
 
     kwargs = {}
@@ -212,7 +222,7 @@ def make_jitted_fused_finetune_step(config: FinetuneConfig, aug_cfg, mesh=None, 
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        kwargs["in_shardings"] = (repl, data, data, repl)
+        kwargs["in_shardings"] = (repl, data, data, repl, data)
         kwargs["out_shardings"] = (repl, repl)
     if donate:
         kwargs["donate_argnums"] = (0,)

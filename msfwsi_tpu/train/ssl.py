@@ -61,6 +61,10 @@ class SSLConfig:
     # training possible. On large-HBM chips (v5p) or under the fuser-head
     # TP sharding (parallel/tp.py) "adam" remains the default.
     inter_opt: str = "adam"
+    # Storage dtype of the fuser-head params ("float32" | "bfloat16") — see
+    # models/backbone.MSFWSI.inter_param_dtype. bf16 pairs with
+    # inter_opt="adafactor" for single-small-chip resnet50 training.
+    inter_dtype: str = "float32"
 
     @property
     def init_lr(self) -> float:
@@ -80,6 +84,7 @@ class SSLConfig:
             mask_ratio=self.mask_ratio / 100,
             dtype=self.dtype,
             remat=self.use_ac,
+            inter_param_dtype=jnp.bfloat16 if self.inter_dtype == "bfloat16" else jnp.float32,
         )
 
 
@@ -114,11 +119,20 @@ def make_ssl_optimizer(config: SSLConfig) -> optax.GradientTransformation:
     if config.inter_opt == "adafactor":
         # Factored second moment, no first moment: O(rows+cols) state for
         # the d^2 fuser matrices instead of O(2*d^2). See SSLConfig.inter_opt.
-        groups["inter"] = optax.adafactor(
-            learning_rate=init_lr * config.ms_lr[2],
-            multiply_by_parameter_scale=False,
-            clipping_threshold=None,
-            eps=1e-8,
+        # Gradients are cast to f32 first so the factored statistics and the
+        # update math stay full-precision even with bf16-stored head params
+        # (optax.apply_updates then casts the update back to the param dtype).
+        cast_f32 = optax.stateless(lambda updates, params: jax.tree.map(
+            lambda g: g.astype(jnp.float32), updates
+        ))
+        groups["inter"] = optax.chain(
+            cast_f32,
+            optax.adafactor(
+                learning_rate=init_lr * config.ms_lr[2],
+                multiply_by_parameter_scale=False,
+                clipping_threshold=None,
+                eps=1e-8,
+            ),
         )
     elif config.inter_opt != "adam":
         raise ValueError(f"unknown inter_opt {config.inter_opt!r}")

@@ -154,6 +154,33 @@ class TestLoader:
         assert batches[0].shape == (4, 128, 128, 3)
         assert str(batches[0].dtype) == "uint8"
 
+    def test_pad_last_wraps_to_full_batches(self, prepared):
+        """pad_last: the trailing partial batch is wrap-padded to the full
+        static shape; last_batch_valid() reports the real sample count."""
+        out, df, _ = prepared
+        files = df["filename_img"].tolist()[:10]
+        loader = L.TileBatchLoader(
+            out, files, batch_size=4, seed=0, drop_last=False, pad_last=True
+        )
+        batches = list(loader.epoch(0))
+        assert len(batches) == 3 == len(loader)  # ceil(10/4)
+        assert all(b.shape[0] == 4 for b in batches)
+        assert loader.last_batch_valid() == 2
+        # padded suffix of the last batch duplicates the epoch's first files
+        np.testing.assert_array_equal(
+            np.asarray(batches[2][2:]), np.asarray(batches[0][:2])
+        )
+
+    def test_pad_last_tiny_dataset_wraps_repeatedly(self, prepared):
+        out, df, _ = prepared
+        files = df["filename_img"].tolist()[:3]
+        loader = L.TileBatchLoader(
+            out, files, batch_size=8, seed=0, drop_last=False, pad_last=True
+        )
+        (batch,) = list(loader.epoch(0))
+        assert batch.shape[0] == 8
+        assert loader.last_batch_valid() == 3
+
     def test_epoch_reshuffles(self, prepared):
         out, df, _ = prepared
         files = df["filename_img"].tolist()[:8]

@@ -164,9 +164,9 @@ class TestValidate:
         tgt = r.normal(size=(6, SEG, SEG, 3)).astype(np.float32)
         masks = r.integers(0, config.num_classes, size=(6, SEG, SEG))
 
-        f1 = EV.make_chunk_forward(state.model, 6)
+        f1 = EV.make_chunk_stats(state.model, 3, 6)
         micro_a, sums_a = EV.validate_slide(f1, variables, ctx, tgt, masks, 3, chunk=6)
-        f2 = EV.make_chunk_forward(state.model, 4)
+        f2 = EV.make_chunk_stats(state.model, 3, 4)
         micro_b, sums_b = EV.validate_slide(f2, variables, ctx, tgt, masks, 3, chunk=4)
         for k in micro_a:
             assert micro_a[k] == pytest.approx(micro_b[k], abs=1e-6)

@@ -34,7 +34,11 @@ class TestFusedStepConsistency:
         step = S.make_jitted_train_step(config, donate=False)
         st_sep, m_sep = step(state, views)
 
-        assert float(m_fused["loss"]) == pytest.approx(float(m_sep["loss"]), rel=1e-5)
+        # Same math, different XLA fusion contexts: float contraction order
+        # differs, and the loss starts near 0 (SimSiam cosine ≈ 0 at init),
+        # so a relative bound on the loss is luck-sensitive — the parameter
+        # check below is the real parity guard.
+        assert float(m_fused["loss"]) == pytest.approx(float(m_sep["loss"]), abs=5e-4)
         # Adam's first step is ±lr*sign(g); where g≈0, fusion-order float
         # differences can flip the sign (diff 2*lr) — tolerate that on <1% of
         # elements, require the rest tight.
@@ -94,13 +98,13 @@ class TestShardedValidation:
         tgt = rng.normal(size=(T, 64, 64, 3)).astype(np.float32)
         masks = rng.integers(0, config.num_classes, size=(T, 64, 64))
 
-        f_single = EV.make_chunk_forward(state.model, chunk=8)
+        f_single = EV.make_chunk_stats(state.model, 3, chunk=8)
         micro_1, sums_1 = EV.validate_slide(
             f_single, variables, ctx, tgt, masks, num_classes=3, chunk=8
         )
 
         mesh = make_mesh(MeshSpec(data=8), devices=jax.devices()[:8])
-        f_sharded = EV.make_chunk_forward(state.model, chunk=8, mesh=mesh)
+        f_sharded = EV.make_chunk_stats(state.model, 3, chunk=8, mesh=mesh)
         micro_8, sums_8 = EV.validate_slide(
             f_sharded, variables, ctx, tgt, masks, num_classes=3, chunk=8
         )

@@ -124,6 +124,29 @@ class TestDice:
         val = float(L.dice_loss(jnp.asarray(logits), jnp.asarray(target), classes=[1]))
         assert val == pytest.approx(0.0, abs=1e-5)
 
+    def test_sample_mask_equals_unpadded(self):
+        """Pad-and-mask parity (drop_last=False under sharding): dice over a
+        wrap-padded batch with the padded suffix masked == dice over the
+        unpadded partial batch."""
+        rng = np.random.default_rng(7)
+        N, P, H, W, C = 5, 3, 16, 16, 4  # N real + P padded
+        logits = rng.normal(size=(N + P, H, W, C)).astype(np.float32)
+        target = rng.integers(0, C, size=(N + P, H, W))
+        classes = [1, 2, 3]
+        unpadded = float(
+            L.dice_loss(jnp.asarray(logits[:N]), jnp.asarray(target[:N]), classes=classes)
+        )
+        mask = jnp.arange(N + P) < N
+        masked = float(
+            L.dice_loss(
+                jnp.asarray(logits), jnp.asarray(target), classes=classes, sample_mask=mask
+            )
+        )
+        assert masked == pytest.approx(unpadded, rel=1e-6, abs=1e-7)
+        # and the mask genuinely matters
+        unmasked = float(L.dice_loss(jnp.asarray(logits), jnp.asarray(target), classes=classes))
+        assert abs(unmasked - unpadded) > 1e-4
+
     def test_gradient_flows(self):
         import jax
 

@@ -91,7 +91,9 @@ def main_worker(args):
 
         mesh = make_mesh(MeshSpec())
         logger.info(f"=> sharding validation chunks over {jax.device_count()} devices")
-    chunk_forward = EV.make_chunk_forward(state.model, chunk=args.val_chunk, mesh=mesh)
+    chunk_forward = EV.make_chunk_stats(
+        state.model, len(class_names), chunk=args.val_chunk, mesh=mesh
+    )
     scores = EV.SlideScores(class_names)
     for i, (imgs_s, masks_s) in enumerate(iter_slides()):
         (ctx, tgt), (_, tmask) = make_seg_val_views(imgs_s, masks_s, aug_cfg)

@@ -49,6 +49,7 @@ def load_pretrain_weights(state, weights_path, logger):
 
 def main_worker(args):
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from msfwsi_tpu.data import datasets as D
@@ -181,9 +182,12 @@ def main_worker(args):
         load_fn=load_fn,
         seed=config.seed,
         # The reference keeps the last partial batch (drop_last=False,
-        # ssl_finetune.py:276); under a sharded mesh the batch must divide
-        # the data axis, so multi-device runs drop it.
-        drop_last=multi,
+        # ssl_finetune.py:276). Under a sharded mesh shapes must be static,
+        # so the trailing batch is wrap-padded to full size and the padded
+        # suffix masked out of the Dice loss (exact same loss/steps-per-
+        # epoch as the reference at any --frac).
+        drop_last=False,
+        pad_last=multi,
         sharding=batch_sharding(mesh) if multi else None,
     )
     logger.info(f"=> train tiles: {len(train_recs)}, steps/epoch: {len(loader)}")
@@ -197,7 +201,9 @@ def main_worker(args):
         config, aug_cfg, mesh=mesh if multi else None, donate=False
     )
     val_mesh = mesh if (n_dev > 1 and args.val_chunk % n_dev == 0) else None
-    chunk_forward = EV.make_chunk_forward(state.model, chunk=args.val_chunk, mesh=val_mesh)
+    chunk_forward = EV.make_chunk_stats(
+        state.model, len(class_names), chunk=args.val_chunk, mesh=val_mesh
+    )
     base_key = jax.random.key(config.seed)
 
     def run_validation(state):
@@ -232,14 +238,24 @@ def main_worker(args):
 
         tps, fps, fns, tns = [], [], [], []
         end = time.time()
+        steps_total = len(loader)
         for it, (bimgs, bmasks) in enumerate(loader.epoch(epoch)):
             key = jax.random.fold_in(jax.random.fold_in(base_key, epoch), it)
-            state, metrics = step_fn(state, bimgs, bmasks, key)
-            losses.update(float(metrics["loss"]), int(bimgs.shape[0]))
-            tps.append(np.asarray(metrics["tp"]))
-            fps.append(np.asarray(metrics["fp"]))
-            fns.append(np.asarray(metrics["fn"]))
-            tns.append(np.asarray(metrics["tn"]))
+            n_valid = (
+                loader.last_batch_valid() if it == steps_total - 1 else args.batch_size
+            )
+            if multi:
+                # Wrap-padded trailing batch: mask the padded suffix out of
+                # the Dice loss (drop_last=False parity under sharding).
+                valid = jnp.arange(args.batch_size) < n_valid
+                state, metrics = step_fn(state, bimgs, bmasks, key, valid)
+            else:
+                state, metrics = step_fn(state, bimgs, bmasks, key)
+            losses.update(float(metrics["loss"]), n_valid)
+            tps.append(np.asarray(metrics["tp"])[:n_valid])
+            fps.append(np.asarray(metrics["fp"])[:n_valid])
+            fns.append(np.asarray(metrics["fn"])[:n_valid])
+            tns.append(np.asarray(metrics["tn"])[:n_valid])
             batch_time.update(time.time() - end)
             end = time.time()
             if it % args.print_freq == 0:

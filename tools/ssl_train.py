@@ -82,6 +82,8 @@ def main_worker(args):
         img_size=args.img_sz,
         amp=args.amp,
         use_ac=args.use_ac,
+        inter_opt=args.inter_opt,
+        inter_dtype=args.inter_dtype,
     )
     logger.info(f"=> creating model '{args.arch}' (scale={args.scale}, K={config.scale**2})")
     logger.info(f"=> use init_lr of {config.init_lr:.4f} (sqrt-batch scaling)")
@@ -327,6 +329,12 @@ def build_parser():
     # Data settings
     parser.add_argument("--data-name", type=str)
     parser.add_argument("--data", metavar="DIR", help="path to dataset")
+    parser.add_argument("--inter-opt", type=str, default="adam", choices=("adam", "adafactor"),
+                        help="fuser-head optimizer; adafactor = factored second moment "
+                        "(fits resnet50's ~1.6B-param heads on small-HBM chips)")
+    parser.add_argument("--inter-dtype", type=str, default="float32", choices=("float32", "bfloat16"),
+                        help="fuser-head parameter storage dtype (bfloat16 halves head "
+                        "param/grad HBM traffic; single-small-chip resnet50 option)")
     parser.add_argument("--c16-mode", type=str, default="train", choices=("train", "all"),
                         help="Camelyon16 slide pool: train = train_ids only (reference "
                         "CLI default), all = imagesTr + imagesTs (camelyon.py:56-83)")
