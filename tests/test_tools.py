@@ -246,3 +246,83 @@ class TestToolSmoke:
             "--overlap", "64",
         )
         assert (tmp_path / "prep" / "data.csv").exists()
+
+
+@pytest.mark.slow
+class TestParityCheck:
+    """Fixture-scale e2e of tools/parity_check.py — the released-checkpoint
+    parity harness (BASELINE north star). Real released weights can't enter
+    this image; a fake reference-format .pth.tar exercises every step:
+    torch->Flax conversion, the evaluate loop, the delta/verdict logic, and
+    the SSL-surgery side check."""
+
+    @pytest.fixture()
+    def fake_released(self, tmp_path):
+        import jax
+
+        from msfwsi_tpu.train import checkpoint as C
+        from msfwsi_tpu.train import finetune as FT
+        from msfwsi_tpu.train import ssl as S
+
+        config = FT.FinetuneConfig(
+            arch="resnet18", class_names=FT.BCSS_CLASSES, seg_size=64
+        )
+        state = FT.create_finetune_state(jax.random.key(3), config, local_batch=1)
+        ft_path = str(tmp_path / "fake_ft.pth.tar")
+        C.save_torch_file(
+            ft_path,
+            C.flax_hooknet_to_torch(
+                {"params": state.params, "batch_stats": state.batch_stats}
+            ),
+        )
+
+        ssl_cfg = S.SSLConfig(arch="resnet18", scale=2, img_size=32, batch_size=2, amp=False)
+        ssl_state = S.create_ssl_state(jax.random.key(4), ssl_cfg)
+        ssl_path = str(tmp_path / "fake_ssl.pth.tar")
+        C.save_torch_file(
+            ssl_path,
+            C.flax_msfwsi_to_torch(
+                {"params": ssl_state.params, "batch_stats": ssl_state.batch_stats}
+            ),
+        )
+        return ft_path, ssl_path
+
+    def _run(self, *args, expect_rc=0):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "parity_check.py"), *args],
+            capture_output=True, text=True, env=ENV, cwd=REPO, timeout=900,
+        )
+        assert proc.returncode == expect_rc, f"rc={proc.returncode}:\n{proc.stdout}\n{proc.stderr}"
+        return proc.stdout
+
+    def test_measures_and_passes_within_tolerance(self, fake_released, tmp_path):
+        ft_path, ssl_path = fake_released
+        # First run establishes the measured number.
+        out = self._run(
+            "--weights", ft_path, "--ssl-weights", ssl_path,
+            "--synthetic", "8", "--seg-size", "64", "--val-chunk", "8",
+            "--log-dir", str(tmp_path / "p1"),
+        )
+        assert '"ssl_surgery": "ok"' in out
+        measured = json.loads(out.strip().splitlines()[-1])["measured"]
+        # Second run against that number as the "reference": parity holds.
+        out2 = self._run(
+            "--weights", ft_path,
+            "--synthetic", "8", "--seg-size", "64", "--val-chunk", "8",
+            "--reference-miou", str(measured),
+            "--log-dir", str(tmp_path / "p2"),
+        )
+        verdict = json.loads(out2.strip().splitlines()[-1])
+        assert verdict["parity"] is True and verdict["delta"] == 0.0
+
+    def test_fails_beyond_tolerance(self, fake_released, tmp_path):
+        ft_path, _ = fake_released
+        out = self._run(
+            "--weights", ft_path,
+            "--synthetic", "8", "--seg-size", "64", "--val-chunk", "8",
+            "--reference-miou", "0.99",
+            "--log-dir", str(tmp_path / "p3"),
+            expect_rc=1,
+        )
+        verdict = json.loads(out.strip().splitlines()[-1])
+        assert verdict["parity"] is False
