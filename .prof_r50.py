@@ -5,7 +5,9 @@ from msfwsi_tpu.train import ssl as S
 
 B = int(os.environ.get("B", "16"))
 config = S.SSLConfig(arch=os.environ.get("ARCH","resnet50"), scale=4, img_size=224,
-                     batch_size=B, amp=True, use_ac=True, inter_opt="adafactor")
+                     batch_size=B, amp=True, use_ac=os.environ.get("AC","1")=="1",
+                     inter_opt=os.environ.get("IOPT","adafactor"),
+                     inter_dtype=os.environ.get("IDT","bfloat16"))
 aug_cfg = AugConfig(compute_dtype="bfloat16")
 rng = np.random.default_rng(0)
 tiles = jnp.asarray(rng.integers(0, 255, size=(B, 1024, 1024, 3), dtype=np.uint8))
@@ -14,7 +16,12 @@ step = S.make_jitted_fused_step(config, aug_cfg, donate=True)
 for i in range(2):
     state, m = step(state, tiles, jax.random.fold_in(jax.random.key(1), i))
 print("warm loss", float(m["loss"]))
-jax.profiler.start_trace("/tmp/r50_trace")
+t0 = time.perf_counter()
+N = 10
+for i in range(N):
+    state, m = step(state, tiles, jax.random.fold_in(jax.random.key(3), i))
+print("timed loss", float(m["loss"]), "ms/step", (time.perf_counter()-t0)/N*1000)
+jax.profiler.start_trace(os.environ.get("TRACE_DIR", "/tmp/r50b_trace"))
 for i in range(3):
     state, m = step(state, tiles, jax.random.fold_in(jax.random.key(2), i))
 print("prof loss", float(m["loss"]))
