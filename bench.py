@@ -64,6 +64,10 @@ def main():
         use_ac=os.environ.get("BENCH_USE_AC", "0") == "1",
         inter_opt=os.environ.get("BENCH_INTER_OPT", "adam"),
         inter_dtype=os.environ.get("BENCH_INTER_DTYPE", "float32"),
+        remat_stages=tuple(
+            int(s) for s in os.environ.get("BENCH_REMAT_STAGES", "").split(",") if s
+        )
+        or None,
     )
     K = config.scale**2
     state = S.create_ssl_state(jax.random.key(0), config)
@@ -111,6 +115,11 @@ def main():
                 + (",ac" if config.use_ac else "")
                 + (",adafactor" if config.inter_opt != "adam" else "")
                 + (",interbf16" if config.inter_dtype == "bfloat16" else "")
+                + (
+                    f",rs{''.join(map(str, config.remat_stages))}"
+                    if config.remat_stages
+                    else ""
+                )
                 + "]",
                 "value": round(tiles_per_sec_chip, 2),
                 "unit": "tiles/sec/chip",

@@ -144,6 +144,8 @@ class MSFWSI(nn.Module):
     # HBM pressure) and halves gradient/optimizer HBM traffic. BN params in
     # the heads stay fp32 either way.
     inter_param_dtype: Any = jnp.float32
+    # 1-indexed encoder stages to remat when ``remat`` is set (None = all 4).
+    remat_stages: Any = None
 
     @property
     def K(self) -> int:
@@ -154,7 +156,12 @@ class MSFWSI(nn.Module):
         return int(self.K * (1 - self.mask_ratio))
 
     def setup(self):
-        enc_kwargs = dict(zero_init_residual=True, dtype=self.dtype, remat=self.remat)
+        enc_kwargs = dict(
+            zero_init_residual=True,
+            dtype=self.dtype,
+            remat=self.remat,
+            remat_stages=self.remat_stages,
+        )
         self.context_encoder = get_encoder(self.arch, **enc_kwargs)
         self.target_encoder = get_encoder(self.arch, **enc_kwargs)
 

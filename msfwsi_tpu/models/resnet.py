@@ -32,6 +32,7 @@ __all__ = [
     "ARCH_SPECS",
     "feature_dims",
     "kaiming_normal_conv_init",
+    "BatchNormNamedStats",
 ]
 
 ModuleDef = Any
@@ -54,6 +55,74 @@ def torch_linear_init(key, shape, dtype=jnp.float32):
     fan_in = shape[0]
     bound = 1.0 / (fan_in**0.5)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class BatchNormNamedStats(nn.Module):
+    """BatchNorm with flax ``nn.BatchNorm`` semantics whose batch statistics
+    are tagged with ``jax.ad_checkpoint.checkpoint_name("bn_stats")``.
+
+    Why: under per-block remat, the backward pass recomputes the block's
+    forward — including the BN statistic reductions, which are full
+    re-reads of every activation from HBM (measured ~90 ms/step of the
+    resnet50 fused step, 2.3x the conv time). The stats themselves are only
+    (C,)-sized, so the remat policy ``save_only_these_names("bn_stats")``
+    keeps them and skips the backward re-reduction at zero memory cost.
+
+    Numerics match ``nn.BatchNorm(force_float32_reductions=True)``: stats
+    accumulate in fp32 (mean / mean-of-squares), normalization arithmetic
+    runs in ``dtype``, running stats update as ``m*ra + (1-m)*batch``.
+    """
+
+    use_running_average: bool | None = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    use_bias: bool = True
+    use_scale: bool = True
+    scale_init: Any = nn.initializers.ones_init()
+    bias_init: Any = nn.initializers.zeros_init()
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        import jax
+        from jax.ad_checkpoint import checkpoint_name
+
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        C = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+        ra_mean = self.variable("batch_stats", "mean", jnp.zeros, (C,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var", jnp.ones, (C,), jnp.float32)
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            if self.axis_name is not None:
+                mean, mean2 = jax.lax.pmean((mean, mean2), axis_name=self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            mean = checkpoint_name(mean, "bn_stats")
+            var = checkpoint_name(var, "bn_stats")
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+
+        dtype = self.dtype or jnp.result_type(x, mean, var)
+        y = x.astype(dtype) - mean.astype(dtype)
+        mul = jax.lax.rsqrt(var.astype(dtype) + jnp.asarray(self.epsilon, dtype))
+        if self.use_scale:
+            scale = self.param("scale", self.scale_init, (C,), self.param_dtype)
+            mul = mul * scale.astype(dtype)
+        y = y * mul
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (C,), self.param_dtype)
+            y = y + bias.astype(dtype)
+        return y
 
 
 class BasicBlock(nn.Module):
@@ -176,6 +245,7 @@ class ResNet(nn.Module):
     bn_momentum: float = 0.9  # == torch momentum 0.1
     bn_epsilon: float = 1e-5
     remat: bool = False  # activation checkpointing per residual block
+    remat_stages: Sequence[int] | None = None  # 1-indexed stages to remat (None = all)
 
     @property
     def feature_dims(self) -> tuple[int, int, int, int]:
@@ -190,7 +260,7 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False, features: str = "pooled"):
         norm = functools.partial(
-            nn.BatchNorm,
+            BatchNormNamedStats,
             momentum=self.bn_momentum,
             epsilon=self.bn_epsilon,
             dtype=self.dtype,
@@ -198,8 +268,30 @@ class ResNet(nn.Module):
             axis_name=None,  # GSPMD: global batch stats come from sharded jnp.mean
         )
         # static_argnums=(2,): `train` is a Python bool steering BatchNorm
-        # mode — it must stay static through the remat boundary.
-        block_cls = nn.remat(self.block_cls, static_argnums=(2,)) if self.remat else self.block_cls
+        # mode — it must stay static through the remat boundary. The policy
+        # saves the (C,)-sized BN statistics so the backward recompute skips
+        # the full-activation stat reductions (see BatchNormNamedStats).
+        if self.remat:
+            import jax
+
+            remat_block_cls = nn.remat(
+                self.block_cls,
+                static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_only_these_names("bn_stats"),
+            )
+        else:
+            remat_block_cls = self.block_cls
+
+        def stage_block_cls(stage_idx: int):
+            """Deep stages have small activations but most of the FLOPs —
+            ``remat_stages`` limits checkpointing to the listed (1-indexed)
+            stages so e.g. stages 3-4 keep their activations and skip the
+            backward recompute entirely."""
+            if not self.remat:
+                return self.block_cls
+            if self.remat_stages is not None and (stage_idx + 1) not in self.remat_stages:
+                return self.block_cls
+            return remat_block_cls
 
         x = x.astype(self.dtype)
         x = nn.Conv(
@@ -226,7 +318,7 @@ class ResNet(nn.Module):
                 needs_proj = j == 0 and (
                     strides != 1 or x.shape[-1] != planes * self.block_cls.expansion
                 )
-                x = block_cls(
+                x = stage_block_cls(i)(
                     planes=planes,
                     strides=strides,
                     use_projection=needs_proj,

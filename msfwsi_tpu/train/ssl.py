@@ -65,6 +65,9 @@ class SSLConfig:
     # models/backbone.MSFWSI.inter_param_dtype. bf16 pairs with
     # inter_opt="adafactor" for single-small-chip resnet50 training.
     inter_dtype: str = "float32"
+    # With use_ac: 1-indexed encoder stages to checkpoint (empty/None = all).
+    # E.g. (1, 2) keeps the FLOP-heavy small-activation stages 3-4 stored.
+    remat_stages: Sequence[int] | None = None
 
     @property
     def init_lr(self) -> float:
@@ -84,6 +87,7 @@ class SSLConfig:
             mask_ratio=self.mask_ratio / 100,
             dtype=self.dtype,
             remat=self.use_ac,
+            remat_stages=tuple(self.remat_stages) if self.remat_stages else None,
             inter_param_dtype=jnp.bfloat16 if self.inter_dtype == "bfloat16" else jnp.float32,
         )
 
