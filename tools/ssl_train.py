@@ -84,6 +84,7 @@ def main_worker(args):
         use_ac=args.use_ac,
         inter_opt=args.inter_opt,
         inter_dtype=args.inter_dtype,
+        remat_stages=tuple(args.remat_stages) if args.remat_stages else None,
     )
     logger.info(f"=> creating model '{args.arch}' (scale={args.scale}, K={config.scale**2})")
     logger.info(f"=> use init_lr of {config.init_lr:.4f} (sqrt-batch scaling)")
@@ -335,6 +336,9 @@ def build_parser():
     parser.add_argument("--inter-dtype", type=str, default="float32", choices=("float32", "bfloat16"),
                         help="fuser-head parameter storage dtype (bfloat16 halves head "
                         "param/grad HBM traffic; single-small-chip resnet50 option)")
+    parser.add_argument("--remat-stages", type=int, nargs="*", default=None,
+                        help="with --use-ac: 1-indexed encoder stages to checkpoint "
+                        "(default all; '1 2' keeps the FLOP-heavy stages 3-4 stored)")
     parser.add_argument("--c16-mode", type=str, default="train", choices=("train", "all"),
                         help="Camelyon16 slide pool: train = train_ids only (reference "
                         "CLI default), all = imagesTr + imagesTs (camelyon.py:56-83)")
