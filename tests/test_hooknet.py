@@ -45,6 +45,24 @@ class TestHookNet:
         assert ctx.shape == (2, SEG, SEG, config.num_classes)
         assert tgt.shape == (2, SEG, SEG, config.num_classes)
 
+    def test_bottleneck_encoder_pyramid(self):
+        """HookNet must accept Bottleneck encoders (resnet50's pyramid is
+        (64,256,512,1024,2048)) — the reference inherits this from smp; here
+        the decoder infers skip widths, and this pins it."""
+        import jax.numpy as jnp
+
+        from msfwsi_tpu.train import finetune as FT
+
+        config = FT.FinetuneConfig(
+            arch="resnet50", class_names=("a", "b", "c"), amp=False, seg_size=64
+        )
+        state = FT.create_finetune_state(jax.random.key(0), config, local_batch=1)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        ctx, tgt = state.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, x, x, train=False
+        )
+        assert ctx.shape == (1, 64, 64, 4) and tgt.shape == (1, 64, 64, 4)
+
     def test_context_hook_crop_geometry(self, hooknet_state):
         """The context branch exports the center H/4, 128-channel crop of
         decoder block 1 (hooknet.py:29-33)."""

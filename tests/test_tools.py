@@ -326,3 +326,105 @@ class TestParityCheck:
         )
         verdict = json.loads(out.strip().splitlines()[-1])
         assert verdict["parity"] is False
+
+
+@pytest.mark.slow
+class TestDatasetCLIPaths:
+    """CLI e2e for the dataset paths round 2 added or that lacked coverage:
+    Camelyon16 --c16-mode all (imagesTr+imagesTs pool, camelyon.py:69-75)
+    and the PAIP pretrain/finetune/evaluate chain."""
+
+    def _c16_tree(self, tmp_path, with_ts=True):
+        import json as _json
+
+        import numpy as np
+        from PIL import Image
+
+        data = tmp_path / "c16"
+        slides = {"imagesTr": ["tumor_001"], "imagesTs": ["test_001"] if with_ts else []}
+        for sub, ids in slides.items():
+            for slide in ids:
+                os.makedirs(data / sub / slide)
+                rng = np.random.default_rng(hash(slide) % 2**31)
+                for i in range(6):
+                    Image.fromarray(
+                        rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+                    ).save(data / sub / slide / f"{i}.png")
+        (data / "dataset.json").write_text(
+            _json.dumps(
+                {"train_ids": ["tumor_001"], "val_ids": [], "test_ids": ["test_001"],
+                 "file_ending": ".png"}
+            )
+        )
+        return data
+
+    def test_c16_mode_all_uses_test_slides(self, tmp_path):
+        data = self._c16_tree(tmp_path)
+        out = run_tool(
+            "ssl_train.py",
+            "--data-name", "camelyon16", "--data", str(data),
+            "--c16-mode", "all",
+            "--scale", "2", "--img-sz", "32", "--tile-px", "64",
+            "-b", "8", "--epochs", "1", "--seed", "0",
+            "--log-dir", str(tmp_path / "runall"),
+        )
+        # both slides' pools -> 12 tiles (mode=train would see only 6)
+        assert "Size of data: 12" in out
+
+    def _paip_tree(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+        from PIL import Image
+
+        from msfwsi_tpu.data.datasets import PAIP_VAL_SET
+
+        data = tmp_path / "paip"
+        os.makedirs(data / "tiles")
+        rng = np.random.default_rng(5)
+        rows = []
+        val_name = PAIP_VAL_SET[0][0]
+        for i in range(12):
+            fname = val_name if i >= 8 else f"01_01_{i:04d}"  # last 4 = fold-0 val slide
+            img = data / "tiles" / f"{fname}_t{i}.png"
+            msk = data / "tiles" / f"{fname}_t{i}_mask.png"
+            Image.fromarray(rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)).save(img)
+            Image.fromarray(rng.integers(0, 3, (128, 128)).astype(np.uint8)).save(msk)
+            rows.append(
+                {
+                    "filename": fname,
+                    "filename_img": f"tiles/{img.name}",
+                    "filename_mask": f"tiles/{msk.name}",
+                    "num_masked_pixels": 128 * 128,
+                    "ratio_masked_area": 0.9,
+                }
+            )
+        pd.DataFrame(rows).to_csv(data / "train_data.csv", index=False)
+        return data
+
+    def test_paip_pretrain_finetune_evaluate(self, tmp_path):
+        data = self._paip_tree(tmp_path)
+        out = run_tool(
+            "ssl_train.py",
+            "--data-name", "paip", "--data", str(data), "--fold", "0",
+            "--scale", "2", "--img-sz", "32", "--tile-px", "64",
+            "-b", "8", "--epochs", "1", "--save-freq", "1", "--seed", "0",
+            "--log-dir", str(tmp_path / "pre"),
+        )
+        assert "Size of data: 8" in out  # val slide's tiles excluded
+        out = run_tool(
+            "ssl_finetune.py",
+            "--data-name", "paip", "--train-data", str(data), "--fold", "0",
+            "--seg-size", "64", "--val-chunk", "8",
+            "-b", "8", "--epochs", "1", "--seed", "0",
+            "--weights", str(tmp_path / "pre" / "checkpoint_0000"),
+            "--log-dir", str(tmp_path / "ft"),
+        )
+        assert "MICRO F1" in out
+        out = run_tool(
+            "evaluate.py",
+            "--data-name", "paip", "--train-data", str(data), "--fold", "0",
+            "--seg-size", "64", "--val-chunk", "8",
+            "--weights", str(tmp_path / "ft" / "best_ft_model"),
+            "--log-dir", str(tmp_path / "ev"),
+        )
+        assert "MICRO F1" in out
