@@ -66,13 +66,17 @@ def _to_float(img, dtype=jnp.float32):
 
 def _context_view(key, x, cfg: AugConfig):
     """context_aug pipeline (``ssl_train.py:175-194``): RRC -> ColorJitter ->
-    ToGray -> OneOf(blur/sharpen) -> HFlip -> Normalize."""
+    ToGray -> OneOf(blur/sharpen) -> HFlip -> Normalize.
+
+    The HFlip is folded into the RRC sampling grid (free) instead of a
+    separate reversal pass: it commutes exactly with the pixelwise color
+    ops and the symmetric blur/sharpen kernels that sit between them."""
     k = jax.random.split(key, 5)
-    v = A.random_resized_crop(k[0], x, cfg.img_size, scale=cfg.rrc_scale)
+    flip = jax.random.uniform(k[4], (x.shape[0],)) < 0.5
+    v = A.random_resized_crop(k[0], x, cfg.img_size, scale=cfg.rrc_scale, flip=flip)
     v = A.color_jitter(k[1], v)
     v = A.to_gray(k[2], v)
     v = A.blur_or_sharpen(k[3], v)
-    v = A.hflip(k[4], v)
     return A.normalize(v, cfg.mean, cfg.std)
 
 
@@ -91,8 +95,9 @@ def _target_view(key, x, cfg: AugConfig):
     tiles = batched_blockshaped(t, cfg.tile_px, cfg.tile_px)  # (B, K, s, s, 3)
     flat = tiles.reshape(B * K, cfg.tile_px, cfg.tile_px, 3)
 
-    v = A.random_resized_crop(k[4], flat, cfg.img_size, scale=cfg.rrc_scale)
-    v = A.hflip(k[5], v)
+    # misc_aug RRC + HFlip, with the flip folded into the sampling grid.
+    flip = jax.random.uniform(k[5], (flat.shape[0],)) < 0.5
+    v = A.random_resized_crop(k[4], flat, cfg.img_size, scale=cfg.rrc_scale, flip=flip)
     v = A.normalize(v, cfg.mean, cfg.std)
 
     # Jigsaw-shuffle *after* the per-tile aug (iid per tile, so the

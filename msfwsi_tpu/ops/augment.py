@@ -488,14 +488,22 @@ def sample_rrc_boxes(
     return top, left, h_sel, w_sel
 
 
-def _axis_resample_indices(start, size, src_len: int, out_len: int):
+def _axis_resample_indices(start, size, src_len: int, out_len: int, flip=None):
     """2-tap bilinear sampling indices/weights along one axis (cv2
-    half-pixel convention, border clamp). start/size are traced (B,) ints."""
+    half-pixel convention, border clamp). start/size are traced (B,) ints.
+
+    ``flip``: optional (B,) bool — mirror the sampling grid about the crop
+    center, i.e. fold a horizontal flip into the resample at zero cost
+    (a separate ``img[:, :, ::-1]`` pass is a full HBM read+write and the
+    W-axis reversal lowers to an expensive relayout on TPU)."""
     startf = start.astype(jnp.float32)
     scalef = size.astype(jnp.float32) / out_len
     coords = (jnp.arange(out_len, dtype=jnp.float32)[None, :] + 0.5) * scalef[
         :, None
     ] - 0.5 + startf[:, None]
+    if flip is not None:
+        mirrored = 2.0 * startf[:, None] + size.astype(jnp.float32)[:, None] - 1.0 - coords
+        coords = jnp.where(flip[:, None], mirrored, coords)
     # Resizing a *crop* must replicate the crop's own border (cv2.resize on
     # the cropped array never sees pixels outside it). When upscaling, the
     # half-pixel grid extends ±scale/2 beyond the crop edges — clamp to the
@@ -511,17 +519,18 @@ def _axis_resample_indices(start, size, src_len: int, out_len: int):
     return lo_i, hi_i, frac
 
 
-def crop_and_resize(img, boxes, out_size: int):
+def crop_and_resize(img, boxes, out_size: int, flip=None):
     """Per-sample crop (top, left, h, w) + bilinear resize to (out, out).
 
     Separable gather implementation: resample rows, then columns — two 2-tap
     lerps instead of a dense resize matmul; static output shape.
-    img: (B, H, W, C) float; boxes: tuple of 4 (B,) int arrays.
+    img: (B, H, W, C) float; boxes: tuple of 4 (B,) int arrays;
+    flip: optional (B,) bool folding a horizontal flip into the resample.
     """
     top, left, h, w = boxes
     B, H, W, C = img.shape
     ylo, yhi, yf = _axis_resample_indices(top, h, H, out_size)
-    xlo, xhi, xf = _axis_resample_indices(left, w, W, out_size)
+    xlo, xhi, xf = _axis_resample_indices(left, w, W, out_size, flip=flip)
 
     yf = yf.astype(img.dtype)
     xf = xf.astype(img.dtype)
@@ -538,14 +547,14 @@ def crop_and_resize(img, boxes, out_size: int):
     return jax.vmap(one)(img, ylo, yhi, yf, xlo, xhi, xf)
 
 
-def _resize_matrix(start, size, src_len: int, out_len: int, dtype=jnp.float32):
+def _resize_matrix(start, size, src_len: int, out_len: int, dtype=jnp.float32, flip=None):
     """Per-sample (out_len, src_len) 2-tap interpolation matrices.
 
     Expressing the separable resize as batched matmuls targets the MXU —
     on TPU this is usually much faster than per-sample gathers, which XLA
     lowers to serial dynamic-slices.
     """
-    lo, hi, frac = _axis_resample_indices(start, size, src_len, out_len)
+    lo, hi, frac = _axis_resample_indices(start, size, src_len, out_len, flip=flip)
     s = jnp.arange(src_len)
     onehot_lo = (s[None, None, :] == lo[:, :, None]).astype(dtype)
     onehot_hi = (s[None, None, :] == hi[:, :, None]).astype(dtype)
@@ -553,7 +562,7 @@ def _resize_matrix(start, size, src_len: int, out_len: int, dtype=jnp.float32):
     return onehot_lo * (1.0 - frac) + onehot_hi * frac  # (B, out, src)
 
 
-def crop_and_resize_mxu(img, boxes, out_size: int, compute_dtype=None):
+def crop_and_resize_mxu(img, boxes, out_size: int, compute_dtype=None, flip=None):
     """MXU formulation of :func:`crop_and_resize`: rows then cols as batched
     2-tap interpolation matmuls. Same math, same sampling indices.
     ``compute_dtype`` defaults to the image dtype (f32 images stay exact)."""
@@ -562,7 +571,7 @@ def crop_and_resize_mxu(img, boxes, out_size: int, compute_dtype=None):
     top, left, h, w = boxes
     B, H, W, C = img.shape
     Rm = _resize_matrix(top, h, H, out_size, compute_dtype)  # (B, out, H)
-    Cm = _resize_matrix(left, w, W, out_size, compute_dtype)  # (B, out, W)
+    Cm = _resize_matrix(left, w, W, out_size, compute_dtype, flip=flip)  # (B, out, W)
     x = img.astype(compute_dtype)
     rows = jnp.einsum("boh,bhwc->bowc", Rm, x, preferred_element_type=compute_dtype)
     out = jnp.einsum("btw,bowc->botc", Cm, rows, preferred_element_type=compute_dtype)
@@ -576,18 +585,22 @@ def random_resized_crop(
     scale: tuple[float, float] = (0.5, 1.0),
     ratio: tuple[float, float] = (3 / 4, 4 / 3),
     use_mxu: bool | None = None,
+    flip=None,
 ):
     """albu RandomResizedCrop(out, out, scale=scale) (``ssl_train.py:176``).
 
     ``use_mxu`` selects the matmul resampler (default: on for TPU backends,
-    off elsewhere)."""
+    off elsewhere). ``flip``: optional (B,) bool — a horizontal flip folded
+    into the sampling grid for free (exact; flips commute with every
+    pixelwise op and with the symmetric blur/sharpen kernels, so albu's
+    flip-late pipelines can flip-early here)."""
     B, H, W, _ = img.shape
     boxes = sample_rrc_boxes(key, B, (H, W), scale, ratio)
     if use_mxu is None:
         use_mxu = jax.default_backend() == "tpu"
     if use_mxu:
-        return crop_and_resize_mxu(img, boxes, out_size)
-    return crop_and_resize(img, boxes, out_size)
+        return crop_and_resize_mxu(img, boxes, out_size, flip=flip)
+    return crop_and_resize(img, boxes, out_size, flip=flip)
 
 
 def center_crop(img, crop: int):

@@ -162,7 +162,27 @@ class TestFloatOracles:
             np.testing.assert_allclose(gather[b], ref, atol=2e-5)
             np.testing.assert_allclose(mxu[b], ref, atol=2e-5)
 
-    def test_resize_bilinear_vs_cv2(self):
+    def test_flip_folded_into_resample_equals_flip_after(self):
+        """hflip folded into the RRC sampling grid must equal resize-then-
+        flip (both resampler formulations) — the pipeline uses the fold to
+        avoid a full reversal pass over the views."""
+        imgs = self._imgs(B=8, H=96, W=96)
+        rng = np.random.default_rng(2)
+        top = rng.integers(0, 20, size=8)
+        left = rng.integers(0, 20, size=8)
+        h = rng.integers(31, 70, size=8)
+        w = rng.integers(31, 70, size=8)
+        boxes = tuple(jnp.asarray(v, jnp.int32) for v in (top, left, h, w))
+        flip = jnp.asarray(rng.integers(0, 2, size=8).astype(bool))
+        out = 48
+        for fn in (A.crop_and_resize, A.crop_and_resize_mxu):
+            plain = np.asarray(fn(jnp.asarray(imgs), boxes, out))
+            folded = np.asarray(fn(jnp.asarray(imgs), boxes, out, flip=flip))
+            flipped_after = np.where(
+                np.asarray(flip)[:, None, None, None], plain[:, :, ::-1, :], plain
+            )
+            # mirrored coords give frac' = 1-frac up to f32 rounding
+            np.testing.assert_allclose(folded, flipped_after, atol=1e-5)
         imgs = self._imgs(B=4, H=96, W=96)
         ours = np.asarray(A.resize_bilinear(jnp.asarray(imgs), 56))
         for b in range(4):
