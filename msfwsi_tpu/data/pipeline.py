@@ -141,14 +141,22 @@ def make_seg_train_views(key, imgs_u8, masks, cfg: AugConfig = AugConfig()):
     x = A.color_jitter(k_cj, x)
     B = x.shape[0]
     flip = jax.random.uniform(k_flip, (B, 1, 1, 1)) < 0.5
-    x = jnp.where(flip, x[:, :, ::-1, :], x)
-    masks = jnp.where(flip[:, :, :, 0], masks[:, :, ::-1], masks)
 
+    # Flip commutes exactly with the centered crop and the half-pixel
+    # bilinear resize, so it is applied to the 256px outputs instead of the
+    # 1024px sources — a 16x smaller reversal pass (the W-reversal relayout
+    # is the expensive part on TPU). Nearest-neighbor rounding does NOT
+    # commute at tie coordinates, so the mask resize folds the flip into
+    # its indices instead (exact nearest(flip(x)) semantics).
     tgt = A.center_crop(x, cfg.seg_size)
     tgt_mask = A.center_crop(masks[..., None], cfg.seg_size)[..., 0]
 
     ctx = A.resize_bilinear(x, cfg.seg_size)
-    ctx_mask = A.resize_nearest(masks[..., None], cfg.seg_size)[..., 0]
+    ctx_mask = A.resize_nearest(masks[..., None], cfg.seg_size, flip=flip[:, 0, 0, 0])[..., 0]
+
+    ctx = jnp.where(flip, ctx[:, :, ::-1, :], ctx)
+    tgt = jnp.where(flip, tgt[:, :, ::-1, :], tgt)
+    tgt_mask = jnp.where(flip[:, :, :, 0], tgt_mask[:, :, ::-1], tgt_mask)
 
     ctx = A.normalize(ctx, cfg.mean, cfg.std)
     tgt = A.normalize(tgt, cfg.mean, cfg.std)

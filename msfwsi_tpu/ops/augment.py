@@ -622,8 +622,14 @@ def resize_bilinear(img, out_size: int):
     return crop_and_resize(img, boxes, out_size)
 
 
-def resize_nearest(img, out_size: int):
-    """Nearest-neighbor resize (albu resizes masks with INTER_NEAREST)."""
+def resize_nearest(img, out_size: int, flip=None):
+    """Nearest-neighbor resize (albu resizes masks with INTER_NEAREST).
+
+    ``flip``: optional (B,) bool — per-sample horizontal flip folded into
+    the column indices (``nearest(flip(x)) == x[..., W-1-xs]`` exactly;
+    note flip does NOT commute with nearest rounding at tie coordinates,
+    so folding — not flipping the output — is the correct zero-cost form).
+    """
     H, W = img.shape[1], img.shape[2]
     ys = jnp.clip(
         jnp.round((jnp.arange(out_size) + 0.5) * H / out_size - 0.5).astype(jnp.int32), 0, H - 1
@@ -631,4 +637,11 @@ def resize_nearest(img, out_size: int):
     xs = jnp.clip(
         jnp.round((jnp.arange(out_size) + 0.5) * W / out_size - 0.5).astype(jnp.int32), 0, W - 1
     )
-    return img[:, ys][:, :, xs]
+    rows = img[:, ys]
+    if flip is None:
+        return rows[:, :, xs]
+    return jnp.where(
+        flip[:, None, None, None] if img.ndim == 4 else flip[:, None, None],
+        rows[:, :, W - 1 - xs],
+        rows[:, :, xs],
+    )

@@ -227,6 +227,39 @@ class TestPipelines:
         # target mask values come from the center crop region of the source
         assert set(np.unique(np.asarray(tm))) <= set(np.unique(np.asarray(masks)))
 
+    def test_seg_train_views_flip_late_equals_flip_early(self):
+        """The optimized seg-train pipeline (flip at 256px / folded nearest
+        indices) must equal the reference order (flip the 1024px sources
+        first) for the same key."""
+        cfg = P.AugConfig(seg_size=32)
+        rng = np.random.default_rng(9)
+        imgs = jnp.asarray(rng.integers(0, 255, size=(4, 128, 128, 3), dtype=np.uint8))
+        masks = jnp.asarray(rng.integers(0, 6, size=(4, 128, 128), dtype=np.uint8))
+        key = jax.random.key(11)
+        (ctx, tgt), (cm, tm) = jax.jit(
+            lambda k, i, m: P.make_seg_train_views(k, i, m, cfg)
+        )(key, imgs, masks)
+
+        # reference order, same RNG consumption
+        from msfwsi_tpu.ops import augment as A
+
+        x = imgs.astype(jnp.float32) / 255.0
+        k_cj, k_flip = jax.random.split(key)
+        x = A.color_jitter(k_cj, x)
+        flip = jax.random.uniform(k_flip, (4, 1, 1, 1)) < 0.5
+        assert bool(jnp.any(flip)) and not bool(jnp.all(flip))  # both branches hit
+        xf = jnp.where(flip, x[:, :, ::-1, :], x)
+        mf = jnp.where(flip[:, :, :, 0], masks[:, :, ::-1], masks)
+        ref_tgt = A.normalize(A.center_crop(xf, 32), cfg.mean, cfg.std)
+        ref_tm = A.center_crop(mf[..., None], 32)[..., 0]
+        ref_ctx = A.normalize(A.resize_bilinear(xf, 32), cfg.mean, cfg.std)
+        ref_cm = A.resize_nearest(mf[..., None], 32)[..., 0]
+
+        np.testing.assert_allclose(np.asarray(tgt), np.asarray(ref_tgt), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ctx), np.asarray(ref_ctx), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(tm), np.asarray(ref_tm))
+        np.testing.assert_array_equal(np.asarray(cm), np.asarray(ref_cm))
+
     def test_seg_val_views_deterministic(self):
         cfg = P.AugConfig(seg_size=32)
         rng = np.random.default_rng(3)
