@@ -80,11 +80,15 @@ def _context_view(key, x, cfg: AugConfig):
     return A.normalize(v, cfg.mean, cfg.std)
 
 
-def _target_view(key, x, cfg: AugConfig):
+def _target_view(key, x, cfg: AugConfig, shuffle: bool = True):
     """target_aug (color-only, full res) + blockshape + jigsaw shuffle +
     per-tile misc_aug (``ssl_train.py:196-217``, ``bcss.py:171-178``).
 
-    Returns (tiles (B*K, s, s, 3) normalized, reverse_idx (B, K))."""
+    Returns (tiles (B*K, s, s, 3) normalized, reverse_idx (B, K)).
+
+    ``shuffle=False`` keeps the view stack in spatial order and leaves the
+    (identical) permutation to the model's feature level — pair with
+    ``MSFWSI(views_shuffled=False)``; saves a ~300 MB view permute."""
     B = x.shape[0]
     K = cfg.grid**2
     k = jax.random.split(key, 6)
@@ -104,25 +108,29 @@ def _target_view(key, x, cfg: AugConfig):
     # distribution is identical to the reference's shuffle-then-aug order,
     # bcss.py:171-178) — the gather moves 224^2 views instead of 256^2 tiles.
     perm = jax.vmap(lambda kk: jax.random.permutation(kk, K))(jax.random.split(k[3], B))
-    v = v.reshape(B, K, cfg.img_size, cfg.img_size, 3)
-    v = jnp.take_along_axis(v, perm[:, :, None, None, None], axis=1)
-    v = v.reshape(B * K, cfg.img_size, cfg.img_size, 3)
+    if shuffle:
+        v = v.reshape(B, K, cfg.img_size, cfg.img_size, 3)
+        v = jnp.take_along_axis(v, perm[:, :, None, None, None], axis=1)
+        v = v.reshape(B * K, cfg.img_size, cfg.img_size, 3)
     return v, jnp.argsort(perm, axis=1)
 
 
-def make_ssl_views(key, tiles_u8, cfg: AugConfig = AugConfig()):
+def make_ssl_views(key, tiles_u8, cfg: AugConfig = AugConfig(), shuffle_views: bool = False):
     """Full SSL batch from raw uint8 tiles (B, 1024, 1024, 3).
 
     Returns the train-step batch dict: two context views (B, s, s, 3), two
     flattened target view stacks (B*K, s, s, 3), two (B, K) inverse jigsaw
-    permutations.
+    permutations. The default ``shuffle_views=False`` (matching
+    ``SSLConfig.shuffle_views``) keeps views spatial and pairs with
+    ``MSFWSI(views_shuffled=False)``; pass True for the reference's
+    shuffled-stack contract (see :func:`_target_view`).
     """
     x = _to_float(tiles_u8, cfg.dtype)
     kc1, kc2, kt1, kt2 = jax.random.split(key, 4)
     ctx1 = _context_view(kc1, x, cfg)
     ctx2 = _context_view(kc2, x, cfg)
-    tgt1, rev1 = _target_view(kt1, x, cfg)
-    tgt2, rev2 = _target_view(kt2, x, cfg)
+    tgt1, rev1 = _target_view(kt1, x, cfg, shuffle=shuffle_views)
+    tgt2, rev2 = _target_view(kt2, x, cfg, shuffle=shuffle_views)
     return {
         "context1": ctx1,
         "context2": ctx2,

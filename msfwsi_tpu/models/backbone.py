@@ -146,6 +146,15 @@ class MSFWSI(nn.Module):
     inter_param_dtype: Any = jnp.float32
     # 1-indexed encoder stages to remat when ``remat`` is set (None = all 4).
     remat_stages: Any = None
+    # True (reference semantics): target views arrive jigsaw-SHUFFLED and
+    # the model un-shuffles their features with the inverse permutation.
+    # False (TPU fast path): views arrive in spatial order and the
+    # *shuffle* is applied at the feature level instead — the fuser gathers
+    # its masked tile subset from the (B, K, C) features, replacing two
+    # ~300 MB view-stack permutes per step with tiny feature gathers.
+    # Mathematically identical for the same permutation (encoders and all
+    # reductions are order-invariant); tested equivalent.
+    views_shuffled: bool = True
 
     @property
     def K(self) -> int:
@@ -201,15 +210,32 @@ class MSFWSI(nn.Module):
         target_f1_split = tuple(f.reshape(B, K, -1) for f in target_f1)
         target_f2_split = tuple(f.reshape(B, K, -1) for f in target_f2)
 
-        # Un-shuffle target tiles back to spatial order (per-sample gather).
-        rev1 = jigsaw_reverse_idx[0][:, :, None]
-        rev2 = jigsaw_reverse_idx[1][:, :, None]
-        target_f1_sort = tuple(
-            jnp.take_along_axis(f, rev1, axis=1).reshape(B * K, -1) for f in target_f1_split
-        )
-        target_f2_sort = tuple(
-            jnp.take_along_axis(f, rev2, axis=1).reshape(B * K, -1) for f in target_f2_split
-        )
+        if self.views_shuffled:
+            # Un-shuffle target tiles back to spatial order (per-sample
+            # gather); the fuser below then uses the still-shuffled features.
+            rev1 = jigsaw_reverse_idx[0][:, :, None]
+            rev2 = jigsaw_reverse_idx[1][:, :, None]
+            target_f1_sort = tuple(
+                jnp.take_along_axis(f, rev1, axis=1).reshape(B * K, -1) for f in target_f1_split
+            )
+            target_f2_sort = tuple(
+                jnp.take_along_axis(f, rev2, axis=1).reshape(B * K, -1) for f in target_f2_split
+            )
+            fuser_f1_split, fuser_f2_split = target_f1_split, target_f2_split
+        else:
+            # Views are already spatial: the target path needs no gather and
+            # the *shuffle* moves to the feature level for the fuser
+            # (shuffled[j] == original[argsort(rev)[j]]).
+            target_f1_sort = tuple(f.reshape(B * K, -1) for f in target_f1_split)
+            target_f2_sort = tuple(f.reshape(B * K, -1) for f in target_f2_split)
+            perm1 = jnp.argsort(jigsaw_reverse_idx[0], axis=1)[:, : self.n_keep, None]
+            perm2 = jnp.argsort(jigsaw_reverse_idx[1], axis=1)[:, : self.n_keep, None]
+            fuser_f1_split = tuple(
+                jnp.take_along_axis(f, perm1, axis=1) for f in target_f1_split
+            )
+            fuser_f2_split = tuple(
+                jnp.take_along_axis(f, perm2, axis=1) for f in target_f2_split
+            )
 
         # Context path.
         context_z1 = tuple(p(f, train=train) for p, f in zip(self.context_projector, context_f1))
@@ -227,11 +253,11 @@ class MSFWSI(nn.Module):
         # (random masking by virtue of the shuffle).
         ms_f1 = tuple(
             jnp.concatenate((c, t[:, : self.n_keep, :].reshape(B, -1)), axis=1)
-            for c, t in zip(context_f1, target_f1_split)
+            for c, t in zip(context_f1, fuser_f1_split)
         )
         ms_f2 = tuple(
             jnp.concatenate((c, t[:, : self.n_keep, :].reshape(B, -1)), axis=1)
-            for c, t in zip(context_f2, target_f2_split)
+            for c, t in zip(context_f2, fuser_f2_split)
         )
         ms_z1 = tuple(p(f, train=train) for p, f in zip(self.inter_projector, ms_f1))
         ms_z2 = tuple(p(f, train=train) for p, f in zip(self.inter_projector, ms_f2))

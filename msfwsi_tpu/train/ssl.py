@@ -68,6 +68,12 @@ class SSLConfig:
     # With use_ac: 1-indexed encoder stages to checkpoint (empty/None = all).
     # E.g. (1, 2) keeps the FLOP-heavy small-activation stages 3-4 stored.
     remat_stages: Sequence[int] | None = None
+    # False (default, TPU fast path): target views stay in spatial order and
+    # the jigsaw shuffle is applied at the feature level inside the model —
+    # mathematically identical, saves two ~300 MB view permutes per step
+    # (see models/backbone.MSFWSI.views_shuffled). True restores the
+    # reference's shuffled-view-stack data contract.
+    shuffle_views: bool = False
 
     @property
     def init_lr(self) -> float:
@@ -89,6 +95,7 @@ class SSLConfig:
             remat=self.use_ac,
             remat_stages=tuple(self.remat_stages) if self.remat_stages else None,
             inter_param_dtype=jnp.bfloat16 if self.inter_dtype == "bfloat16" else jnp.float32,
+            views_shuffled=self.shuffle_views,
         )
 
 
@@ -274,7 +281,7 @@ def make_jitted_fused_step(config: SSLConfig, aug_cfg, mesh=None, donate: bool =
     fuser_weights = tuple(config.fuser_weights)
 
     def step(state, tiles_u8, key):
-        batch = make_ssl_views(key, tiles_u8, aug_cfg)
+        batch = make_ssl_views(key, tiles_u8, aug_cfg, shuffle_views=config.shuffle_views)
         return ssl_train_step(state, batch, fuser_weights)
 
     kwargs = {}

@@ -89,6 +89,39 @@ class TestTrainStep:
         assert delta("inter_") == 0.0
 
 
+class TestShuffleViewsEquivalence:
+    def test_fast_path_equals_reference_path(self):
+        """shuffle_views=False (spatial views + feature-level jigsaw) must
+        produce the same loss and updated params as the reference contract
+        (shuffled view stacks + feature un-shuffle) for the same key."""
+        from msfwsi_tpu.data.pipeline import AugConfig, make_ssl_views
+
+        aug_cfg = AugConfig(img_size=32, grid=2, tile_px=32)
+        rng = np.random.default_rng(4)
+        tiles = jnp.asarray(rng.integers(0, 255, size=(4, 64, 64, 3), dtype=np.uint8))
+        key = jax.random.key(21)
+
+        results = {}
+        for shuffled in (True, False):
+            config = tiny_config(scale=2, shuffle_views=shuffled)
+            state = S.create_ssl_state(jax.random.key(0), config)
+            batch = jax.jit(
+                lambda k, t: make_ssl_views(k, t, aug_cfg, shuffle_views=shuffled)
+            )(key, tiles)
+            step = S.make_jitted_train_step(config, donate=False)
+            new_state, metrics = step(state, batch)
+            results[shuffled] = (float(metrics["loss"]), new_state.params)
+
+        loss_ref, params_ref = results[True]
+        loss_fast, params_fast = results[False]
+        assert loss_fast == pytest.approx(loss_ref, abs=5e-4)
+        # identical math, different op order: params match to float noise
+        for a, b in zip(jax.tree.leaves(params_ref), jax.tree.leaves(params_fast)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-3, rtol=0
+            )
+
+
 class TestRemat:
     def test_use_ac_matches_plain_loss(self):
         """Activation checkpointing (--use-ac -> nn.remat per residual
