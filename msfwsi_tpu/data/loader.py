@@ -93,6 +93,14 @@ class TileBatchLoader:
         # training step masks the padded suffix out of the loss (see
         # train/finetune.py); use last_batch_valid() for the real count.
         self.pad_last = pad_last
+        if pad_last and jax.process_count() > 1:
+            # The Dice sample mask assumes the wrap-pad sits at the *global*
+            # batch tail; multi-host assembly puts each host's pad at its
+            # local segment tail instead, so the mask would hit real samples.
+            raise NotImplementedError(
+                "pad_last is single-host only (finetune, like the reference's "
+                "rank-0 validation); use drop_last under multi-host"
+            )
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.sharding = sharding
@@ -164,16 +172,29 @@ class TileBatchLoader:
             yield tail
 
     def last_batch_valid(self) -> int:
-        """Number of real (non-padded) samples in the final batch of an
-        epoch (== batch_size when the dataset divides evenly)."""
-        rem = len(self.files) % self.batch_size
+        """Number of real (non-padded) samples in the final *per-process*
+        batch of an epoch (== batch_size when the list divides evenly).
+
+        Under multi-host, ``_shard_files`` pads the global list to a
+        multiple of ``process_count`` and strides, so each process iterates
+        ``ceil(n / P)`` files — the count is derived from that per-process
+        length, not the global one (the DistributedSampler-style duplicate
+        pads count as real samples, matching the reference)."""
+        n = len(self.files)
+        P = jax.process_count()
+        if P > 1:
+            n = (n + (-n) % P) // P
+        rem = n % self.batch_size
         return rem if (rem and not self.drop_last) else self.batch_size
 
     def epoch(self, epoch: int = 0) -> Iterator:
         """Yield one epoch of batches (device arrays)."""
+        # SeedSequence is a stable, documented mixer (unlike builtin hash(),
+        # an implementation detail that an interpreter upgrade could change
+        # and silently reorder data across a resumed run).
         files = _shard_files(
             self.files,
-            epoch_seed=hash((self.seed, epoch)) & 0x7FFFFFFF,
+            epoch_seed=np.random.SeedSequence([self.seed & 0x7FFFFFFF, epoch]),
             process_index=jax.process_index(),
             process_count=jax.process_count(),
             shuffle=self.shuffle,

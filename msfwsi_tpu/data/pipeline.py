@@ -115,15 +115,18 @@ def _target_view(key, x, cfg: AugConfig, shuffle: bool = True):
     return v, jnp.argsort(perm, axis=1)
 
 
-def make_ssl_views(key, tiles_u8, cfg: AugConfig = AugConfig(), shuffle_views: bool = False):
+def make_ssl_views(key, tiles_u8, cfg: AugConfig = AugConfig(), shuffle_views: bool = True):
     """Full SSL batch from raw uint8 tiles (B, 1024, 1024, 3).
 
     Returns the train-step batch dict: two context views (B, s, s, 3), two
     flattened target view stacks (B*K, s, s, 3), two (B, K) inverse jigsaw
-    permutations. The default ``shuffle_views=False`` (matching
-    ``SSLConfig.shuffle_views``) keeps views spatial and pairs with
-    ``MSFWSI(views_shuffled=False)``; pass True for the reference's
-    shuffled-stack contract (see :func:`_target_view`).
+    permutations. The default ``shuffle_views=True`` is the reference's
+    shuffled-view-stack contract and matches ``MSFWSI``'s default
+    ``views_shuffled=True`` — the two flags MUST agree (a mismatch silently
+    trains on scrambled target features). ``SSLConfig`` wires both to its
+    ``shuffle_views`` field; pass False only together with
+    ``MSFWSI(views_shuffled=False)`` for the feature-level-jigsaw fast path
+    (see :func:`_target_view`).
     """
     x = _to_float(tiles_u8, cfg.dtype)
     kc1, kc2, kt1, kt2 = jax.random.split(key, 4)

@@ -32,6 +32,7 @@ __all__ = [
     "save_train_state",
     "restore_train_state",
     "latest_checkpoint",
+    "resolve_checkpoint_arg",
     "load_torch_file",
     "torch_resnet_to_flax",
     "torch_msfwsi_to_flax",
@@ -79,6 +80,28 @@ def restore_train_state(path: str, state):
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
     )
+
+
+def resolve_checkpoint_arg(path: str) -> str | None:
+    """Resolve a user-supplied checkpoint path, accepting the reference's
+    naming. The published recipes pass ``checkpoint_NNNN.pth.tar`` /
+    ``best_ft_model.pth.tar`` (``scripts/bcss.sh:24-34``); our trainer writes
+    Orbax directories named ``checkpoint_NNNN`` / ``best_ft_model``. So a
+    verbatim reference recipe line resolves as:
+
+      1. ``path`` exists (dir or file) -> use as-is;
+      2. ``path`` ends in ``.pth.tar``/``.pth`` and the stem exists as an
+         Orbax dir -> use the dir (the recipe's glob-name, our format);
+      3. otherwise ``None``.
+    """
+    if os.path.exists(path):
+        return path
+    for suffix in (".pth.tar", ".pth"):
+        if path.endswith(suffix):
+            stem = path[: -len(suffix)]
+            if os.path.isdir(stem):
+                return stem
+    return None
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:

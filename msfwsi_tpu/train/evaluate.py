@@ -188,20 +188,25 @@ def validate(
     slides: Iterable,
     class_names,
     chunk: int = 128,
-    forward=None,
+    stats_fn=None,
 ):
     """Full validation pass over an iterable of slides, each
     ``(context_tiles, target_tiles, target_masks)`` uint8/float arrays.
+
+    ``stats_fn`` must be a :func:`make_chunk_stats` result (signature
+    ``(variables, ctx, tgt, masks, acc) -> acc``) — NOT a
+    :func:`make_chunk_forward` function, which has a different contract.
+    Defaults to building one from ``model``.
 
     Returns the summary dict: micro means over slides + per-class means —
     the numbers the reference logs at ``evaluate.py:226-237``.
     """
     scores = SlideScores(class_names)
     num_classes = len(list(class_names))
-    forward = forward or make_chunk_stats(model, num_classes, chunk)
+    stats_fn = stats_fn or make_chunk_stats(model, num_classes, chunk)
     for ctx, tgt, masks in slides:
         micro, sums = validate_slide(
-            forward, variables, ctx, tgt, masks, num_classes=num_classes, chunk=chunk
+            stats_fn, variables, ctx, tgt, masks, num_classes=num_classes, chunk=chunk
         )
         scores.update(micro, sums)
     return scores.summary()

@@ -17,7 +17,11 @@ do
         --log-dir ${log_path}/fold_${f} \
         --save-freq 50 \
         --fold ${f} \
-        --amp
+        --amp --wandb \
+        --run-group best_bcss_fold_${f} \
+        --run-name ssl_bcss_fold_${f} \
+        --run-tag ssl bcss fold_${f} \
+        --run-notes "cross validation on bcss: ssl, fold ${f}"
 
     for i in {0499..0249..50}
     do
@@ -29,9 +33,13 @@ do
             --mean 0.6998 0.4785 0.6609 \
             --std 0.2203 0.2407 0.1983 \
             --log-dir ${log_path}/fold_${f}/test_${i} \
-            --weights ${log_path}/fold_${f}/checkpoint_${i} \
+            --weights ${log_path}/fold_${f}/checkpoint_${i}.pth.tar \
             --fold ${f} \
-            --amp
+            --amp \
+            --wandb --run-group best_bcss_fold_${f} \
+            --run-name ft_bcss_fold_${f} \
+            --run-tag fine-tune bcss fold_${f} \
+            --run-notes "cross validation on bcss: fine-tune, fold ${f}"
     done
 done
 
@@ -51,7 +59,7 @@ do
             --std 0.2203 0.2407 0.1983 \
             --frac ${frac} --fold ${fold} \
             --log-dir ${log_path}/frac_${frac}/fold_${fold} \
-            --weights ${log_path}/fold_${fold}/checkpoint_0249 \
+            --weights ${log_path}/fold_${fold}/checkpoint_0249.pth.tar \
             --amp
     done
 done

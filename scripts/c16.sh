@@ -30,7 +30,7 @@ do
             --std 0.14612035 0.1648203 0.12789637 \
             --frac ${frac} --fold ${fold} \
             --log-dir ${log_path}/frac_${frac}/fold_${fold} \
-            --weights ./logs/camelyon/train_set/checkpoint_0049 \
+            --weights ./logs/camelyon/train_set/checkpoint_0049.pth.tar \
             --amp --bf16 --tensorboard
     done
 done
@@ -51,7 +51,7 @@ do
             --std 0.2203 0.2407 0.1983 \
             --frac ${frac} --fold ${fold} \
             --log-dir ${log_path}/frac_${frac}/fold_${fold} \
-            --weights ./logs/camelyon/train_set/checkpoint_0049 \
+            --weights ./logs/camelyon/train_set/checkpoint_0049.pth.tar \
             --amp --tensorboard
     done
 done

@@ -16,7 +16,11 @@ do
         --log-dir ${log_path}/fold_${f} \
         --save-freq 50 \
         --fold ${f} \
-        --amp
+        --amp --wandb \
+        --run-group best_paip_fold_${f} \
+        --run-name ssl_paip_fold_${f} \
+        --run-tag ssl paip fold_${f} \
+        --run-notes "cross validation on paip: ssl, fold ${f}"
 
     for i in {0499..0249..50}
     do
@@ -28,9 +32,13 @@ do
             --mean 0.76410981 0.55224932 0.69604445 \
             --std 0.14612035 0.1648203 0.12789637 \
             --log-dir ${log_path}/fold_${f}/test_${i} \
-            --weights ${log_path}/fold_${f}/checkpoint_${i} \
+            --weights ${log_path}/fold_${f}/checkpoint_${i}.pth.tar \
             --fold ${f} \
-            --amp
+            --amp \
+            --wandb --run-group best_paip_fold_${f} \
+            --run-name ft_paip_fold_${f} \
+            --run-tag fine-tune paip fold_${f} epoch_${i} \
+            --run-notes "cross validation on paip: fine-tune, fold ${f}, epoch ${i}"
     done
 done
 
@@ -51,7 +59,7 @@ do
             --std 0.14612035 0.1648203 0.12789637 \
             --frac ${frac} --fold ${fold} \
             --log-dir ${log_path_eval}/frac_${frac}/fold_${fold} \
-            --weights ./logs/best/paip/frac_${frac}/fold_${fold}/best_ft_model \
+            --weights ./logs/best/paip/frac_${frac}/fold_${fold}/best_ft_model.pth.tar \
             --amp
     done
 done

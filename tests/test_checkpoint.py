@@ -420,3 +420,27 @@ class TestOrbaxRoundtrip:
         latest = C.latest_checkpoint(str(tmp_path))
         assert latest.endswith("checkpoint_0012")
         assert C.latest_checkpoint(str(tmp_path / "nope")) is None
+
+
+class TestResolveCheckpointArg:
+    """Reference recipes pass checkpoint_NNNN.pth.tar names
+    (scripts/bcss.sh:24-34); the resolver maps them onto whichever format
+    actually exists on disk."""
+
+    def test_existing_path_passthrough(self, tmp_path):
+        d = tmp_path / "checkpoint_0001"
+        d.mkdir()
+        assert C.resolve_checkpoint_arg(str(d)) == str(d)
+        f = tmp_path / "w.pth.tar"
+        f.write_bytes(b"x")
+        assert C.resolve_checkpoint_arg(str(f)) == str(f)
+
+    def test_pth_tar_resolves_to_orbax_dir(self, tmp_path):
+        d = tmp_path / "checkpoint_0249"
+        d.mkdir()
+        assert C.resolve_checkpoint_arg(str(d) + ".pth.tar") == str(d)
+        assert C.resolve_checkpoint_arg(str(d) + ".pth") == str(d)
+
+    def test_missing_returns_none(self, tmp_path):
+        assert C.resolve_checkpoint_arg(str(tmp_path / "nope.pth.tar")) is None
+        assert C.resolve_checkpoint_arg(str(tmp_path / "nope")) is None

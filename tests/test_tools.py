@@ -146,6 +146,7 @@ class TestToolSmoke:
             "--scale", "2", "--img-sz", "32", "--tile-px", "64",
             "-b", "8", "--epochs", "1", "--save-freq", "1", "--seed", "0",
             "--fold", "0",
+            "--imagenet-weights", "none",
             "--packed-cache", str(tmp_path / "cache"),
             "--log-dir", str(tmp_path / "run"),
         )
@@ -155,6 +156,64 @@ class TestToolSmoke:
         import glob
 
         assert glob.glob(str(tmp_path / "cache" / "pack_*.npy"))
+
+    def test_reference_recipe_finetune_verbatim(self, tmp_path):
+        """The reference's scripts/bcss.sh finetune stage runs with its flag
+        set unchanged: --weights points at checkpoint_NNNN.pth.tar (the
+        recipe's glob name, scripts/bcss.sh:24-34) and resolves to the Orbax
+        dir our trainer wrote; the wandb/DDP flags all parse. Sizes are
+        scaled down via extra (non-reference) flags only."""
+        import numpy as np
+        from PIL import Image
+
+        raw = tmp_path / "raw"
+        os.makedirs(raw / "images")
+        os.makedirs(raw / "masks")
+        rng = np.random.default_rng(0)
+        # One fold-0 train slide (XX) and one fold-0 val slide (OL).
+        for name in ("TCGA-XX-1", "TCGA-OL-1"):
+            img = rng.integers(0, 255, (300, 300, 3), dtype=np.uint8)
+            mask = (rng.integers(0, 22, (300, 300))).astype(np.uint8)
+            Image.fromarray(img).save(raw / "images" / f"{name}.png")
+            Image.fromarray(mask).save(raw / "masks" / f"{name}.png")
+        run_tool(
+            "bcss_prepare.py",
+            "-p", str(raw), "-o", str(tmp_path / "prep"), "-s", "128",
+        )
+        pre = tmp_path / "pre"
+        run_tool(
+            "ssl_train.py",
+            "--data-name", "bcss", "--data", str(tmp_path / "prep"),
+            "--scale", "2", "--img-sz", "32", "--tile-px", "64",
+            "-b", "8", "--epochs", "1", "--save-freq", "1", "--seed", "0",
+            "--fold", "0", "--imagenet-weights", "none",
+            "--log-dir", str(pre),
+        )
+        assert (pre / "checkpoint_0000").is_dir()
+
+        out = run_tool(
+            "ssl_finetune.py",
+            # ---- the reference recipe's flags, verbatim ----
+            "-j", "4", "--lr", "1e-3", "--seed", "3407",
+            "--multiprocessing-distributed", "--world-size", "1", "--rank", "0",
+            "--data-name", "bcss",
+            "--train-data", str(tmp_path / "prep"),
+            "--mean", "0.6998", "0.4785", "0.6609",
+            "--std", "0.2203", "0.2407", "0.1983",
+            "--log-dir", str(tmp_path / "ft"),
+            "--weights", str(pre / "checkpoint_0000.pth.tar"),
+            "--fold", "0",
+            "--amp",
+            "--wandb", "--run-group", "best_bcss_fold_0",
+            "--run-name", "ft_bcss_fold_0",
+            "--run-tag", "fine-tune", "bcss", "fold_0",
+            "--run-notes", "cross validation on bcss: fine-tune, fold 0",
+            # ---- size scale-down (extra flags only, not in the recipe) ----
+            "-b", "4", "--epochs", "1", "--steps-per-epoch", "2",
+            "--val-chunk", "4", "--seg-size", "64",
+        )
+        assert "loaded pretrained weights" in out
+        assert "MICRO F1" in out
 
     def test_evaluate_torch_checkpoint_cli(self, tmp_path):
         """Full reverse-interop loop at CLI level: Flax HookNet -> exported
@@ -220,6 +279,7 @@ class TestToolSmoke:
             "--data", str(data),
             "--scale", "2", "--img-sz", "32", "--tile-px", "64",
             "-b", "8", "--epochs", "2", "--save-freq", "2", "--seed", "0",
+            "--imagenet-weights", "none",
             "--log-dir", str(tmp_path / "c16run"),
         )
         assert "reset dataset for next epoch" in out

@@ -42,9 +42,12 @@ NOOP_FLAGS = {
 }
 
 
-def warn_noop_flags(args, parser_defaults):
+def warn_noop_flags(args, parser_defaults, extra=None):
+    """Log once for every parity-only flag set to a non-default value.
+    ``extra`` adds tool-specific inert flags to the global table."""
     logger = logging.getLogger("MSF-WSI")
-    for flag, why in NOOP_FLAGS.items():
+    table = {**NOOP_FLAGS, **(extra or {})}
+    for flag, why in table.items():
         if hasattr(args, flag) and getattr(args, flag) != parser_defaults.get(flag):
             logger.info(f"=> flag --{flag.replace('_', '-')} accepted for parity but inert: {why}")
 

@@ -38,7 +38,18 @@ def main_worker(args):
 
     logger = setup_logger(args.log_dir, name="MSF-WSI")
     logger.info(" ".join([sys.executable, *sys.argv]))
-    warn_noop_flags(args, {a.dest: a.default for a in PARSER._actions})
+    # --frac/--lam/--weight-name are parsed-but-unused in the reference's
+    # evaluator too (/root/reference/tools/evaluate.py:446-448 — never read
+    # after parsing); accepted for recipe compatibility, warned when set.
+    warn_noop_flags(
+        args,
+        {a.dest: a.default for a in PARSER._actions},
+        extra={
+            "frac": "the reference evaluator parses --frac but never uses it",
+            "lam": "the reference evaluator parses --lam but never uses it",
+            "weight_name": "the reference evaluator parses --weight-name but never uses it",
+        },
+    )
 
     class_names = {"bcss": FT.BCSS_CLASSES, "paip": FT.PAIP_CLASSES}[args.data_name]
     config = FT.FinetuneConfig(
@@ -50,10 +61,14 @@ def main_worker(args):
     state = FT.create_finetune_state(jax.random.key(config.seed), config)
 
     logger.info(f"=> loading pretrained weights {args.weights}")
-    if os.path.isdir(args.weights):
-        state = C.restore_train_state(args.weights, state)
+    weights = C.resolve_checkpoint_arg(args.weights)
+    if weights is None:
+        logger.error(f"=> weights not found: {args.weights}")
+        sys.exit(1)
+    if os.path.isdir(weights):
+        state = C.restore_train_state(weights, state)
     else:
-        variables = C.torch_hooknet_to_flax(C.load_torch_file(args.weights))
+        variables = C.torch_hooknet_to_flax(C.load_torch_file(weights))
         state = state.replace(
             params=variables["params"], batch_stats=variables["batch_stats"]
         )
@@ -149,7 +164,12 @@ def build_parser():
     parser.add_argument("--amp", action="store_true")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--weights", type=str)
-    parser.add_argument("--frac", type=float, default=1)
+    parser.add_argument("--weight-name", type=str,
+                        help="parsed but unused, as in the reference (evaluate.py:447)")
+    parser.add_argument("--frac", type=float, default=1,
+                        help="parsed but unused, as in the reference (evaluate.py:446)")
+    parser.add_argument("--lam", type=float, default=1,
+                        help="parsed but unused, as in the reference (evaluate.py:448)")
 
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--val-chunk", type=int, default=128,

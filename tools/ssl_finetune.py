@@ -84,11 +84,14 @@ def main_worker(args):
     logger.info(f"=> scale lr from {args.lr:.4f} to {config.init_lr:.4f}")
 
     state = FT.create_finetune_state(jax.random.key(config.seed), config)
-    if args.weights and os.path.exists(args.weights):
-        state = load_pretrain_weights(state, args.weights, logger)
-    elif args.weights:
-        logger.warning("=> Invalid model weights!")
-        sys.exit(1)
+    if args.weights:
+        # Accepts reference-style checkpoint_NNNN.pth.tar recipe paths
+        # (resolved to the Orbax dir when that's what the trainer wrote).
+        resolved = C.resolve_checkpoint_arg(args.weights)
+        if resolved is None:
+            logger.warning("=> Invalid model weights!")
+            sys.exit(1)
+        state = load_pretrain_weights(state, resolved, logger)
 
     tb_writer = None
     if args.tensorboard:

@@ -172,19 +172,53 @@ def main_worker(args):
             state = S.load_imagenet_encoders(state, C.load_torch_file(weights_path))
             logger.info(f"=> initialized encoders from ImageNet weights {weights_path}")
         else:
-            logger.warning(
-                f"=> ImageNet weights for {config.arch} not found locally and "
-                f"download failed: PRETRAINING FROM RANDOM INIT. The reference "
-                f"always uses pretrained=True; place the torchvision .pth in "
-                f"$MSFWSI_IMAGENET_DIR (searched: {search_dirs()}) or pass "
-                f"--imagenet-weights <path> (or 'none' to silence this)."
+            msg = (
+                f"ImageNet weights for {config.arch} not found locally and "
+                f"download failed. The reference always pretrains from "
+                f"torchvision pretrained=True (backbone.py:58-63); place the "
+                f".pth in $MSFWSI_IMAGENET_DIR (searched: {search_dirs()}), "
+                f"pass --imagenet-weights <path>, or opt out explicitly with "
+                f"--imagenet-weights none / --allow-random-init."
             )
+            # Random init silently diverges from the published setup — fail
+            # hard unless the user opted out (synthetic smoke mode implies it).
+            if args.synthetic or args.allow_random_init:
+                logger.warning(f"=> {msg} PRETRAINING FROM RANDOM INIT.")
+            else:
+                logger.error(f"=> {msg}")
+                raise RuntimeError(msg)
     start_epoch = args.start_epoch
     if args.resume:
-        if os.path.exists(args.resume):
-            logger.info(f"=> loading checkpoint '{args.resume}'")
-            state = C.restore_train_state(args.resume, state)
-            start_epoch = int(state.step) // max(1, len(loader))
+        resume = C.resolve_checkpoint_arg(args.resume)
+        if resume is not None:
+            import re
+
+            logger.info(f"=> loading checkpoint '{resume}'")
+            if os.path.isdir(resume):
+                state = C.restore_train_state(resume, state)
+            else:
+                # Reference-format .pth.tar resume: model weights + BN stats
+                # restored; Adam moments restart (documented in PARITY.md —
+                # the reference also perturbs the optimizer on resume by
+                # forcing eps=0.1, ssl_train.py:325-326).
+                variables = C.torch_msfwsi_to_flax(C.load_torch_file(resume))
+                state = state.replace(
+                    params=variables["params"], batch_stats=variables["batch_stats"]
+                )
+                logger.warning(
+                    "=> torch-format resume restores weights/BN only; "
+                    "optimizer moments restart"
+                )
+            # The checkpoint name encodes the completed epoch (reference
+            # contract checkpoint_{epoch:04d}, ssl_train.py:385) — the only
+            # derivation that stays correct when --steps-per-epoch capped
+            # earlier epochs. Fall back to step arithmetic (cap-aware).
+            m = re.search(r"checkpoint_(\d+)", os.path.basename(os.path.normpath(resume)))
+            if m:
+                start_epoch = int(m.group(1)) + 1
+            else:
+                spe = min(args.steps_per_epoch, len(loader)) if args.steps_per_epoch else len(loader)
+                start_epoch = int(state.step) // max(1, spe)
             logger.info(f"=> loaded checkpoint (step {int(state.step)}, epoch {start_epoch})")
         else:
             logger.info(f"=> no checkpoint found at '{args.resume}'")
@@ -378,6 +412,10 @@ def build_parser():
                         help="target sub-tile size before per-tile RRC (reference: 256)")
     parser.add_argument("--profile-steps", type=int, default=0,
                         help="trace the first N steps with jax.profiler into <log-dir>/profile")
+    parser.add_argument("--allow-random-init", action="store_true",
+                        help="proceed from random init when ImageNet weights "
+                        "cannot be resolved (default: hard error, since the "
+                        "published setup always starts from pretrained=True)")
     parser.add_argument("--imagenet-weights", type=str, default="auto",
                         help="ImageNet init for both encoders (reference default: "
                         "pretrained=True via torch.hub). 'auto' = search "
