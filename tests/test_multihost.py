@@ -59,6 +59,41 @@ WORKER = textwrap.dedent(
     assert batch.shape[0] == 8, batch.shape
     total = float(batch.astype("float32").sum())
     print(f"OK{proc_id}:{batch.shape[0]}:{total}", flush=True)
+
+    # --- the jitted SSL train step ACROSS the two processes -------------
+    # Batch sharded over the 2-device (= 2-process) mesh: XLA inserts the
+    # cross-process gradient psum and global-batch BN reductions — the live
+    # analog of DDP allreduce + SyncBN (ssl_train.py:160,170,472).
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from msfwsi_tpu.train import ssl as S
+    from multihost_common import CONFIG, make_global_batch
+
+    state = S.create_ssl_state(jax.random.key(0), CONFIG)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    state = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)),
+        state,
+    )
+    gbatch = make_global_batch()
+    half = lambda x: np.split(x, 2, axis=0)[proc_id]
+    batch = {
+        k: jax.make_array_from_process_local_data(data, half(v))
+        for k, v in gbatch.items()
+    }
+    step_fn = S.make_jitted_train_step(CONFIG, mesh=mesh, donate=False)
+    new_state, metrics = step_fn(state, batch)
+    loss = float(metrics["loss"])
+    pnorm = float(
+        sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+            for l in jax.tree.leaves(new_state.params))
+    )
+    bnorm = float(
+        sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+            for l in jax.tree.leaves(new_state.batch_stats))
+    )
+    print(f"STEP{proc_id}:{loss:.8f}:{pnorm:.6f}:{bnorm:.6f}", flush=True)
     """
 )
 
@@ -73,7 +108,10 @@ def test_two_process_distributed(tmp_path):
 
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
-    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    pythonpath = ":".join(
+        [REPO, os.path.join(REPO, "tests"), os.environ.get("PYTHONPATH", "")]
+    )
+    env = dict(os.environ, PYTHONPATH=pythonpath, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
 
     procs = [
@@ -107,3 +145,40 @@ def test_two_process_distributed(tmp_path):
     oks = sorted(l for out in outs for l in out.splitlines() if l.startswith("OK"))
     assert len(oks) == 2
     assert oks[0].split(":")[1:] == oks[1].split(":")[1:]
+
+    # The cross-process train step: both workers report the same loss and
+    # updated-state checksums, and they equal a single-process run of the
+    # identical step on the identical global batch — the gradient-psum /
+    # SyncBN parity statement (DDP allreduce analog, ssl_train.py:472).
+    steps = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("STEP"):
+                pid = int(line[4])
+                steps[pid] = [float(x) for x in line[6:].split(":")]
+    assert set(steps) == {0, 1}, f"missing STEP lines:\n{outs}"
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from msfwsi_tpu.train import ssl as S
+    from multihost_common import CONFIG, make_global_batch
+
+    state = S.create_ssl_state(jax.random.key(0), CONFIG)
+    step_fn = S.make_jitted_train_step(CONFIG, mesh=None, donate=False)
+    new_state, metrics = step_fn(state, make_global_batch())
+    loss = float(metrics["loss"])
+    pnorm = float(
+        sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+            for l in jax.tree.leaves(new_state.params))
+    )
+    bnorm = float(
+        sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+            for l in jax.tree.leaves(new_state.batch_stats))
+    )
+    for pid in (0, 1):
+        got_loss, got_pnorm, got_bnorm = steps[pid]
+        np.testing.assert_allclose(got_loss, loss, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(got_pnorm, pnorm, rtol=1e-6)
+        np.testing.assert_allclose(got_bnorm, bnorm, rtol=1e-6)
