@@ -68,6 +68,7 @@ def main():
             int(s) for s in os.environ.get("BENCH_REMAT_STAGES", "").split(",") if s
         )
         or None,
+        fused_bn=os.environ.get("BENCH_FUSED_BN", "0") == "1",
     )
     K = config.scale**2
     state = S.create_ssl_state(jax.random.key(0), config)
@@ -120,6 +121,7 @@ def main():
                     if config.remat_stages
                     else ""
                 )
+                + (",fusedbn" if config.fused_bn else "")
                 + "]",
                 "value": round(tiles_per_sec_chip, 2),
                 "unit": "tiles/sec/chip",

@@ -6,10 +6,13 @@ from msfwsi_tpu.data.pipeline import AugConfig
 from msfwsi_tpu.train import ssl as S
 
 B = int(os.environ.get("B", "16"))
+_rs = os.environ.get("RS", "")
 config = S.SSLConfig(arch=os.environ.get("ARCH","resnet50"), scale=4, img_size=224,
                      batch_size=B, amp=True, use_ac=os.environ.get("AC","1")=="1",
                      inter_opt=os.environ.get("IOPT","adafactor"),
-                     inter_dtype=os.environ.get("IDT","bfloat16"))
+                     inter_dtype=os.environ.get("IDT","bfloat16"),
+                     fused_bn=os.environ.get("FUSED","0")=="1",
+                     remat_stages=tuple(int(c) for c in _rs) if _rs else None)
 aug_cfg = AugConfig(compute_dtype="bfloat16")
 rng = np.random.default_rng(0)
 tiles = jnp.asarray(rng.integers(0, 255, size=(B, 1024, 1024, 3), dtype=np.uint8))

@@ -85,6 +85,7 @@ def main_worker(args):
         inter_opt=args.inter_opt,
         inter_dtype=args.inter_dtype,
         remat_stages=tuple(args.remat_stages) if args.remat_stages else None,
+        fused_bn=args.fused_convbn,
     )
     logger.info(f"=> creating model '{args.arch}' (scale={args.scale}, K={config.scale**2})")
     logger.info(f"=> use init_lr of {config.init_lr:.4f} (sqrt-batch scaling)")
@@ -370,6 +371,11 @@ def build_parser():
     parser.add_argument("--inter-dtype", type=str, default="float32", choices=("float32", "bfloat16"),
                         help="fuser-head parameter storage dtype (bfloat16 halves head "
                         "param/grad HBM traffic; single-small-chip resnet50 option)")
+    parser.add_argument("--fused-convbn", action="store_true",
+                        help="EXPERIMENTAL fused conv+BN encoder dataflow "
+                        "(Bottleneck archs: 1x1 convs as einsum-dots with BN "
+                        "folded into the dot fusion). Measured slower than the "
+                        "default XLA path on v5e (ROADMAP.md); kept opt-in")
     parser.add_argument("--remat-stages", type=int, nargs="*", default=None,
                         help="with --use-ac: 1-indexed encoder stages to checkpoint "
                         "(default all; '1 2' keeps the FLOP-heavy stages 3-4 stored)")
