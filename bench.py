@@ -84,11 +84,12 @@ def main():
     else:
         Sz = config.img_size
         rev = np.stack([rng.permutation(K) for _ in range(batch)])
+        t1, t2 = S.target_keys(config.shuffle_views)
         batch_data = {
             "context1": jnp.asarray(rng.normal(size=(batch, Sz, Sz, 3)), jnp.float32),
             "context2": jnp.asarray(rng.normal(size=(batch, Sz, Sz, 3)), jnp.float32),
-            "target1": jnp.asarray(rng.normal(size=(batch * K, Sz, Sz, 3)), jnp.float32),
-            "target2": jnp.asarray(rng.normal(size=(batch * K, Sz, Sz, 3)), jnp.float32),
+            t1: jnp.asarray(rng.normal(size=(batch * K, Sz, Sz, 3)), jnp.float32),
+            t2: jnp.asarray(rng.normal(size=(batch * K, Sz, Sz, 3)), jnp.float32),
             "rev1": jnp.asarray(np.argsort(rev, axis=1)),
             "rev2": jnp.asarray(np.argsort(rev, axis=1)),
         }

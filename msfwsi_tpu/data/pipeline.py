@@ -122,23 +122,27 @@ def make_ssl_views(key, tiles_u8, cfg: AugConfig = AugConfig(), shuffle_views: b
     flattened target view stacks (B*K, s, s, 3), two (B, K) inverse jigsaw
     permutations. The default ``shuffle_views=True`` is the reference's
     shuffled-view-stack contract and matches ``MSFWSI``'s default
-    ``views_shuffled=True`` — the two flags MUST agree (a mismatch silently
-    trains on scrambled target features). ``SSLConfig`` wires both to its
-    ``shuffle_views`` field; pass False only together with
+    ``views_shuffled=True``; pass False only together with
     ``MSFWSI(views_shuffled=False)`` for the feature-level-jigsaw fast path
-    (see :func:`_target_view`).
+    (see :func:`_target_view`). The mode is encoded in the target key names
+    (``train.ssl.target_keys``), so feeding the batch to a model in the
+    other mode raises instead of silently training on scrambled features;
+    ``SSLConfig`` wires both sides from its ``shuffle_views`` field.
     """
+    from ..train.ssl import target_keys
+
     x = _to_float(tiles_u8, cfg.dtype)
     kc1, kc2, kt1, kt2 = jax.random.split(key, 4)
     ctx1 = _context_view(kc1, x, cfg)
     ctx2 = _context_view(kc2, x, cfg)
     tgt1, rev1 = _target_view(kt1, x, cfg, shuffle=shuffle_views)
     tgt2, rev2 = _target_view(kt2, x, cfg, shuffle=shuffle_views)
+    t1, t2 = target_keys(shuffle_views)
     return {
         "context1": ctx1,
         "context2": ctx2,
-        "target1": tgt1,
-        "target2": tgt2,
+        t1: tgt1,
+        t2: tgt2,
         "rev1": rev1,
         "rev2": rev2,
     }
@@ -146,24 +150,44 @@ def make_ssl_views(key, tiles_u8, cfg: AugConfig = AugConfig(), shuffle_views: b
 
 def make_seg_train_views(key, imgs_u8, masks, cfg: AugConfig = AugConfig()):
     """Finetune train batch: ((context, target) images, (context, target)
-    masks), all (B, 256, 256, ...)."""
+    masks), all (B, 256, 256, ...).
+
+    The reference order (``ssl_finetune.py:198-223``) jitters the full-res
+    source, then derives CenterCrop(256) target and Resize(256) context.
+    Here the views are derived FIRST and jittered at 256px — 16x fewer
+    color-op pixels. Correctness:
+
+      * target: ColorJitter is pixelwise, so it commutes exactly with the
+        centered crop; the contrast op's whole-image gray means are taken
+        from the context pass (``means=``), not the crop, preserving the
+        reference's full-image statistics.
+      * context: the brightness/contrast/saturation ops are affine in
+        ``(x, gray(x), 1)`` and commute exactly with the linear bilinear
+        resize; the hue op and the final clip do not commute with averaging
+        (documented deviation — interpolation-order noise, ≤1e-2).
+      * contrast means come from the resized context view rather than the
+        full-res source (sampled vs exact mean, ≤~1e-3 difference).
+
+    Flip commutes exactly with the centered crop and the half-pixel
+    bilinear resize, so it is applied to the 256px outputs instead of the
+    1024px sources — a 16x smaller reversal pass (the W-reversal relayout
+    is the expensive part on TPU). Nearest-neighbor rounding does NOT
+    commute at tie coordinates, so the mask resize folds the flip into
+    its indices instead (exact nearest(flip(x)) semantics)."""
     x = _to_float(imgs_u8, cfg.dtype)
     k_cj, k_flip = jax.random.split(key)
-    x = A.color_jitter(k_cj, x)
     B = x.shape[0]
     flip = jax.random.uniform(k_flip, (B, 1, 1, 1)) < 0.5
 
-    # Flip commutes exactly with the centered crop and the half-pixel
-    # bilinear resize, so it is applied to the 256px outputs instead of the
-    # 1024px sources — a 16x smaller reversal pass (the W-reversal relayout
-    # is the expensive part on TPU). Nearest-neighbor rounding does NOT
-    # commute at tie coordinates, so the mask resize folds the flip into
-    # its indices instead (exact nearest(flip(x)) semantics).
     tgt = A.center_crop(x, cfg.seg_size)
     tgt_mask = A.center_crop(masks[..., None], cfg.seg_size)[..., 0]
 
     ctx = A.resize_bilinear(x, cfg.seg_size)
     ctx_mask = A.resize_nearest(masks[..., None], cfg.seg_size, flip=flip[:, 0, 0, 0])[..., 0]
+
+    jit_params = A._sample_jitter_params(k_cj, B, A.ColorJitterConfig(), x.dtype)
+    ctx, means = A.apply_color_jitter(ctx, *jit_params, return_means=True)
+    tgt = A.apply_color_jitter(tgt, *jit_params, means=means)
 
     ctx = jnp.where(flip, ctx[:, :, ::-1, :], ctx)
     tgt = jnp.where(flip, tgt[:, :, ::-1, :], tgt)

@@ -166,13 +166,28 @@ def color_jitter(key, img, cfg: ColorJitterConfig = ColorJitterConfig(), method:
     return apply_color_jitter(img, fb, fc, fs, fh, perm, apply, method=method)
 
 
-def apply_color_jitter(img, fb, fc, fs, fh, perm, apply, method: str = "fused"):
+def apply_color_jitter(
+    img, fb, fc, fs, fh, perm, apply, method: str = "fused",
+    means=None, return_means: bool = False,
+):
     """:func:`color_jitter` with injected per-sample parameters (the oracle
     tests drive this directly with chosen factors). Shapes: fb/fc/fs/apply
     (B,1,1,1), fh (B,1,1), perm (B,4) with op ids 0=brightness 1=contrast
-    2=saturation 3=hue."""
+    2=saturation 3=hue.
+
+    ``means``/``return_means`` (fused method only): the contrast op blends
+    with the *image-wide* gray mean — once before the hue op (``mg``) and
+    once after (``mg2``). ``return_means=True`` additionally returns the
+    ``(mg, mg2)`` pair this image produced; ``means=(mg, mg2)`` substitutes
+    externally supplied means instead. This lets a cropped/resized view be
+    jittered with the statistics of its *source* image (the reference
+    jitters the full-resolution source and derives views afterwards — the
+    pixelwise ops commute with crop/resize, only the contrast means carry
+    whole-image information)."""
     B = img.shape[0]
     dt = img.dtype
+    if means is not None or return_means:
+        assert method == "fused", "injected means require the fused method"
 
     if method == "sequential":
         def op_brightness(x):
@@ -223,7 +238,10 @@ def apply_color_jitter(img, fb, fc, fs, fh, perm, apply, method: str = "fused"):
         return sel, (a2b, a2s, a2c), (b2b, b2s, b2c), (c2b, c2s, c2c)
 
     g = rgb_to_grayscale(img)
-    mg = jnp.mean(g, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32).astype(dt)
+    if means is not None:
+        mg = means[0]
+    else:
+        mg = jnp.mean(g, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32).astype(dt)
 
     hue_pos = jnp.argmax(perm == 3, axis=1)[:, None, None, None]  # (B,1,1,1)
 
@@ -246,10 +264,16 @@ def apply_color_jitter(img, fb, fc, fs, fh, perm, apply, method: str = "fused"):
     y = a1 * img + b1 * g + c1
     z = _apply_hue(jnp.clip(y, 0.0, 1.0), fh)
     g2 = rgb_to_grayscale(z)
-    mg2 = jnp.mean(g2, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32).astype(dt)
+    if means is not None:
+        mg2 = means[1]
+    else:
+        mg2 = jnp.mean(g2, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32).astype(dt)
     a2, b2, c2 = run_segment(False, mg2)
     out = jnp.clip(a2 * z + b2 * g2 + c2, 0.0, 1.0)
-    return jnp.where(apply, out, img)
+    out = jnp.where(apply, out, img)
+    if return_means:
+        return out, (mg, mg2)
+    return out
 
 
 def to_gray(key, img, p: float = 0.2):

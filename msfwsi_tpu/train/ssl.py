@@ -60,6 +60,11 @@ class SSLConfig:
     # alone exceeds a 16 GB v5e; factored state makes single-small-chip
     # training possible. On large-HBM chips (v5p) or under the fuser-head
     # TP sharding (parallel/tp.py) "adam" remains the default.
+    # "fused_adafactor" = same adafactor math, but the big head kernels'
+    # updates are computed directly from the (X, dY) outer-product factors
+    # without ever materializing the dense gradient in HBM — see
+    # train/factored.py. Numerics match "adafactor" to reassociation
+    # tolerance; several HBM passes over ~GB gradients cheaper per step.
     inter_opt: str = "adam"
     # Storage dtype of the fuser-head params ("float32" | "bfloat16") — see
     # models/backbone.MSFWSI.inter_param_dtype. bf16 pairs with
@@ -116,15 +121,21 @@ class SSLTrainState(struct.PyTreeNode):
     model: MSFWSI = struct.field(pytree_node=False)
 
 
-def _param_group(path) -> str:
+def _param_group(path, leaf=None, factored_kernels: bool = False) -> str:
     """Label a parameter by its top-level module prefix — the reference's
-    name-prefix partition (``ssl_train.py:281-300``)."""
+    name-prefix partition (``ssl_train.py:281-300``). With
+    ``factored_kernels``, the big inter-head Dense kernels are split into
+    their own "inter_fac" group (fused outer-product Adafactor path)."""
     top = path[0] if isinstance(path[0], str) else path[0].key
     if top.startswith("context_"):
         return "context"
     if top.startswith("target_"):
         return "target"
     if top.startswith("inter_"):
+        from .factored import is_factored_kernel
+
+        if factored_kernels and is_factored_kernel(path, leaf):
+            return "inter_fac"
         return "inter"
     raise ValueError(f"parameter {path} not in any optimizer group")
 
@@ -135,7 +146,8 @@ def make_ssl_optimizer(config: SSLConfig) -> optax.GradientTransformation:
         name: optax.adam(init_lr * m, b1=0.9, b2=0.999, eps=1e-8)
         for name, m in zip(("context", "target", "inter"), config.ms_lr)
     }
-    if config.inter_opt == "adafactor":
+    factored_kernels = config.inter_opt == "fused_adafactor"
+    if config.inter_opt in ("adafactor", "fused_adafactor"):
         # Factored second moment, no first moment: O(rows+cols) state for
         # the d^2 fuser matrices instead of O(2*d^2). See SSLConfig.inter_opt.
         # Gradients are cast to f32 first so the factored statistics and the
@@ -153,13 +165,54 @@ def make_ssl_optimizer(config: SSLConfig) -> optax.GradientTransformation:
                 eps=1e-8,
             ),
         )
+        if factored_kernels:
+            from .factored import fused_outer_adafactor
+
+            groups["inter_fac"] = fused_outer_adafactor(
+                learning_rate=init_lr * config.ms_lr[2], eps=1e-8
+            )
     elif config.inter_opt != "adam":
         raise ValueError(f"unknown inter_opt {config.inter_opt!r}")
 
     def label_fn(params):
-        return jax.tree_util.tree_map_with_path(lambda path, _: _param_group(path), params)
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: _param_group(path, leaf, factored_kernels), params
+        )
 
     return optax.multi_transform(groups, label_fn)
+
+
+def target_keys(views_shuffled: bool) -> tuple:
+    """Batch keys for the two target view stacks. The jigsaw mode is encoded
+    in the *pytree structure* (key names) so that pairing a view pipeline
+    with a model in the other mode raises instead of silently training on
+    scrambled target features: ``target{1,2}`` hold physically shuffled
+    stacks (the reference contract, ``views_shuffled=True``),
+    ``target{1,2}_spatial`` hold spatial-order stacks for the
+    feature-level-jigsaw fast path. ``rev{1,2}`` are the inverse jigsaw
+    permutations in BOTH modes (the model derives the forward permutation
+    itself in the fast path)."""
+    return ("target1", "target2") if views_shuffled else ("target1_spatial", "target2_spatial")
+
+
+def batch_views(batch, views_shuffled: bool):
+    """Extract ``(x1, x2, revs)`` model-apply arguments from a batch dict,
+    enforcing the jigsaw-mode contract (see :func:`target_keys`)."""
+    t1, t2 = target_keys(views_shuffled)
+    if t1 not in batch:
+        have = [k for k in batch if k.startswith("target")]
+        raise ValueError(
+            f"batch/model jigsaw-mode mismatch: the model has "
+            f"views_shuffled={views_shuffled} (wants batch key {t1!r}) but the "
+            f"batch carries {have}. Build views with make_ssl_views(..., "
+            f"shuffle_views={views_shuffled}) — SSLConfig wires both sides "
+            f"from its shuffle_views field."
+        )
+    return (
+        (batch["context1"], batch[t1]),
+        (batch["context2"], batch[t2]),
+        (batch["rev1"], batch["rev2"]),
+    )
 
 
 def make_example_batch(config: SSLConfig, local_batch: int | None = None):
@@ -170,11 +223,12 @@ def make_example_batch(config: SSLConfig, local_batch: int | None = None):
     img = jnp.zeros((B, S, S, 3), jnp.float32)
     tgt = jnp.zeros((B * K, S, S, 3), jnp.float32)
     rev = jnp.tile(jnp.arange(K)[None], (B, 1))
+    t1, t2 = target_keys(config.shuffle_views)
     return {
         "context1": img,
         "context2": img,
-        "target1": tgt,
-        "target2": tgt,
+        t1: tgt,
+        t2: tgt,
         "rev1": rev,
         "rev2": rev,
     }
@@ -183,13 +237,8 @@ def make_example_batch(config: SSLConfig, local_batch: int | None = None):
 def create_ssl_state(rng, config: SSLConfig, example_batch=None) -> SSLTrainState:
     model = config.build_model()
     batch = example_batch or make_example_batch(config, local_batch=2)
-    variables = model.init(
-        rng,
-        (batch["context1"], batch["target1"]),
-        (batch["context2"], batch["target2"]),
-        (batch["rev1"], batch["rev2"]),
-        train=False,
-    )
+    x1, x2, revs = batch_views(batch, model.views_shuffled)
+    variables = model.init(rng, x1, x2, revs, train=False)
     tx = make_ssl_optimizer(config)
     params = variables["params"]
     return SSLTrainState(
@@ -202,28 +251,99 @@ def create_ssl_state(rng, config: SSLConfig, example_batch=None) -> SSLTrainStat
     )
 
 
-def ssl_loss_fn(model, params, batch_stats, batch, fuser_weights):
+def ssl_loss_fn(model, params, batch_stats, batch, fuser_weights, inter_taps=None):
+    x1, x2, revs = batch_views(batch, model.views_shuffled)
+    mutable = ["batch_stats"] if inter_taps is None else ["batch_stats", "fac_inputs"]
     outputs, mutated = model.apply(
         {"params": params, "batch_stats": batch_stats},
-        (batch["context1"], batch["target1"]),
-        (batch["context2"], batch["target2"]),
-        (batch["rev1"], batch["rev2"]),
+        x1,
+        x2,
+        revs,
         train=True,
-        mutable=["batch_stats"],
+        inter_taps=inter_taps,
+        mutable=mutable,
     )
     total, per_path = msfwsi_loss(outputs, fuser_weights)
-    return total, (per_path, mutated["batch_stats"])
+    return total, (per_path, mutated["batch_stats"], mutated.get("fac_inputs"))
 
 
-def ssl_train_step(state: SSLTrainState, batch, fuser_weights: Sequence[float]):
+def make_zero_taps(model: MSFWSI, local_batch: int, dtype):
+    """Zero tap pair for the fused-Adafactor gradient-factor extraction —
+    shapes follow the inter-head Dense outputs (see MSFWSI.__call__)."""
+    from ..models.resnet import feature_dims
+
+    dims = tuple(d * (model.n_keep + 1) for d in feature_dims(model.arch))
+    B = local_batch
+
+    def one_view():
+        return tuple(
+            {
+                "proj": {
+                    "fc1": jnp.zeros((B, d), dtype),
+                    "fc2": jnp.zeros((B, d), dtype),
+                    "fc3": jnp.zeros((B, d), dtype),
+                },
+                "pred": {
+                    "fc1": jnp.zeros((B, d // 4), dtype),
+                    "fc2": jnp.zeros((B, d), dtype),
+                },
+            }
+            for d in dims
+        )
+
+    return (one_view(), one_view())
+
+
+def _assemble_fac_sides(fac_inputs, tap_grads):
+    """{params-path string: (X (2B, d_in), dY (2B, d_out))} for every tapped
+    inter-head Dense — both SimSiam views concatenated (each head module runs
+    twice per step, so dW = X^T dY over the concatenation)."""
+    g1, g2 = tap_grads
+    sides = {}
+    for i in range(len(g1)):
+        for mod, short in (("inter_projector", "proj"), ("inter_predictor", "pred")):
+            for fc in g1[i][short]:
+                xs = fac_inputs[f"{mod}_{i}"][f"{fc}_in"]
+                x = jnp.concatenate(xs, axis=0)
+                dy = jnp.concatenate((g1[i][short][fc], g2[i][short][fc]), axis=0)
+                sides[f"{mod}_{i}/{fc}"] = (x, dy)
+    return sides
+
+
+def ssl_train_step(
+    state: SSLTrainState, batch, fuser_weights: Sequence[float], factored: bool = False
+):
     """One SGD step. Pure function of (state, batch) — jit it once with
-    ``fuser_weights`` closed over (they are static per run)."""
-    grad_fn = jax.value_and_grad(
-        lambda p: ssl_loss_fn(state.model, p, state.batch_stats, batch, fuser_weights),
-        has_aux=True,
+    ``fuser_weights`` closed over (they are static per run). ``factored``
+    (inter_opt="fused_adafactor") additionally differentiates w.r.t. zero
+    output-taps on the inter-head Dense layers and hands the (X, dY)
+    gradient factors to the optimizer, whose big-kernel updates then never
+    materialize dense gradients (train/factored.py); the unused autodiff
+    dW dots are dead code XLA eliminates."""
+    extra = {}
+    if factored:
+        B = batch["context1"].shape[0]
+        taps = make_zero_taps(state.model, B, state.model.dtype)
+        grad_fn = jax.value_and_grad(
+            lambda p, t: ssl_loss_fn(
+                state.model, p, state.batch_stats, batch, fuser_weights, inter_taps=t
+            ),
+            argnums=(0, 1),
+            has_aux=True,
+        )
+        (loss, (per_path, new_stats, fac_inputs)), (grads, tap_grads) = grad_fn(
+            state.params, taps
+        )
+        extra["fac_sides"] = _assemble_fac_sides(fac_inputs, tap_grads)
+    else:
+        grad_fn = jax.value_and_grad(
+            lambda p: ssl_loss_fn(state.model, p, state.batch_stats, batch, fuser_weights),
+            has_aux=True,
+        )
+        (loss, (per_path, new_stats, _)), grads = grad_fn(state.params)
+    updates, new_opt_state = state.tx.update(
+        grads, state.opt_state, state.params, **extra
     )
-    (loss, (per_path, new_stats)), grads = grad_fn(state.params)
-    updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     new_state = state.replace(
         step=state.step + 1,
@@ -245,9 +365,10 @@ def make_jitted_train_step(
     shardings are then inferred from the argument placements and XLA
     propagates the TP collectives."""
     fuser_weights = tuple(config.fuser_weights)
+    factored = config.inter_opt == "fused_adafactor"
 
     def step(state, batch):
-        return ssl_train_step(state, batch, fuser_weights)
+        return ssl_train_step(state, batch, fuser_weights, factored=factored)
 
     kwargs = {}
     if mesh is not None and not model_parallel:
@@ -287,10 +408,11 @@ def make_jitted_fused_step(config: SSLConfig, aug_cfg, mesh=None, donate: bool =
     from ..data.pipeline import make_ssl_views
 
     fuser_weights = tuple(config.fuser_weights)
+    factored = config.inter_opt == "fused_adafactor"
 
     def step(state, tiles_u8, key):
         batch = make_ssl_views(key, tiles_u8, aug_cfg, shuffle_views=config.shuffle_views)
-        return ssl_train_step(state, batch, fuser_weights)
+        return ssl_train_step(state, batch, fuser_weights, factored=factored)
 
     kwargs = {}
     if mesh is not None:

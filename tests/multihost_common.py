@@ -21,11 +21,14 @@ def make_global_batch() -> dict:
     mk = lambda n: rng.normal(size=(n, IMG, IMG, 3)).astype(np.float32)
     perm1 = np.stack([rng.permutation(K) for _ in range(B)])
     perm2 = np.stack([rng.permutation(K) for _ in range(B)])
+    from msfwsi_tpu.train.ssl import target_keys
+
+    t1, t2 = target_keys(CONFIG.shuffle_views)
     return {
         "context1": mk(B),
         "context2": mk(B),
-        "target1": mk(B * K),
-        "target2": mk(B * K),
+        t1: mk(B * K),
+        t2: mk(B * K),
         "rev1": np.argsort(perm1, axis=1).astype(np.int32),
         "rev2": np.argsort(perm2, axis=1).astype(np.int32),
     }

@@ -227,13 +227,21 @@ class TestPipelines:
         # target mask values come from the center crop region of the source
         assert set(np.unique(np.asarray(tm))) <= set(np.unique(np.asarray(masks)))
 
-    def test_seg_train_views_flip_late_equals_flip_early(self):
-        """The optimized seg-train pipeline (flip at 256px / folded nearest
-        indices) must equal the reference order (flip the 1024px sources
-        first) for the same key."""
+    def test_seg_train_views_matches_reference_order(self):
+        """The optimized seg-train pipeline (crop/resize first, jitter at
+        256px, flip late, folded nearest indices) must match the reference
+        order (jitter + flip the full-res sources, then derive views) for
+        the same key. Masks are exact; the target image deviates only
+        through the contrast means (sampled from the resized view, ≤~1e-2
+        after normalize); the context image additionally carries the
+        hue/resize interchange noise (documented deviation)."""
         cfg = P.AugConfig(seg_size=32)
         rng = np.random.default_rng(9)
-        imgs = jnp.asarray(rng.integers(0, 255, size=(4, 128, 128, 3), dtype=np.uint8))
+        # Smooth sources (upsampled low-res noise): the hue op's
+        # interchange-with-averaging error concentrates at hard texture
+        # edges, which WSI tiles — unlike white noise — don't have.
+        base = rng.integers(0, 255, size=(4, 16, 16, 3), dtype=np.uint8)
+        imgs = jnp.asarray(np.kron(base, np.ones((1, 8, 8, 1))).astype(np.uint8))
         masks = jnp.asarray(rng.integers(0, 6, size=(4, 128, 128), dtype=np.uint8))
         key = jax.random.key(11)
         (ctx, tgt), (cm, tm) = jax.jit(
@@ -255,10 +263,25 @@ class TestPipelines:
         ref_ctx = A.normalize(A.resize_bilinear(xf, 32), cfg.mean, cfg.std)
         ref_cm = A.resize_nearest(mf[..., None], 32)[..., 0]
 
-        np.testing.assert_allclose(np.asarray(tgt), np.asarray(ref_tgt), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(ctx), np.asarray(ref_ctx), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tgt), np.asarray(ref_tgt), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(ctx), np.asarray(ref_ctx), atol=5e-2)
         np.testing.assert_array_equal(np.asarray(tm), np.asarray(ref_tm))
         np.testing.assert_array_equal(np.asarray(cm), np.asarray(ref_cm))
+
+    def test_jitter_commutes_with_crop_under_injected_means(self):
+        """ColorJitter(crop(x), means-of-x) == crop(ColorJitter(x)) exactly —
+        the mathematical basis of the crop-before-jitter seg pipeline."""
+        from msfwsi_tpu.ops import augment as A
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(size=(3, 64, 64, 3)), jnp.float32)
+        params = A._sample_jitter_params(
+            jax.random.key(5), 3, A.ColorJitterConfig(p=1.0), jnp.float32
+        )
+        full, means = A.apply_color_jitter(x, *params, return_means=True)
+        ref = A.center_crop(full, 16)
+        new = A.apply_color_jitter(A.center_crop(x, 16), *params, means=means)
+        np.testing.assert_array_equal(np.asarray(new), np.asarray(ref))
 
     def test_seg_val_views_deterministic(self):
         cfg = P.AugConfig(seg_size=32)

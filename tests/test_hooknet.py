@@ -129,11 +129,7 @@ class TestFinetune:
         b = S.make_example_batch(ssl_config, local_batch=2)
         ssl_vars = jax.jit(
             lambda k: ssl_model.init(
-                k,
-                (b["context1"], b["target1"]),
-                (b["context2"], b["target2"]),
-                (b["rev1"], b["rev2"]),
-                train=False,
+                k, *S.batch_views(b, ssl_model.views_shuffled), train=False
             )
         )(jax.random.key(1))
 

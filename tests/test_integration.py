@@ -30,7 +30,11 @@ class TestFusedStepConsistency:
         fused = S.make_jitted_fused_step(config, aug_cfg, donate=False)
         st_fused, m_fused = fused(state, tiles, key)
 
-        views = jax.jit(lambda k, t: P.make_ssl_views(k, t, aug_cfg))(key, tiles)
+        views = jax.jit(
+            lambda k, t: P.make_ssl_views(
+                k, t, aug_cfg, shuffle_views=config.shuffle_views
+            )
+        )(key, tiles)
         step = S.make_jitted_train_step(config, donate=False)
         st_sep, m_sep = step(state, views)
 

@@ -20,11 +20,12 @@ def random_batch(config, B, seed=0):
     rng = np.random.default_rng(seed)
     K, Sz = config.scale**2, config.img_size
     rev = np.stack([rng.permutation(K) for _ in range(B)])
+    t1, t2 = S.target_keys(config.shuffle_views)
     return {
         "context1": jnp.asarray(rng.normal(size=(B, Sz, Sz, 3)), jnp.float32),
         "context2": jnp.asarray(rng.normal(size=(B, Sz, Sz, 3)), jnp.float32),
-        "target1": jnp.asarray(rng.normal(size=(B * K, Sz, Sz, 3)), jnp.float32),
-        "target2": jnp.asarray(rng.normal(size=(B * K, Sz, Sz, 3)), jnp.float32),
+        t1: jnp.asarray(rng.normal(size=(B * K, Sz, Sz, 3)), jnp.float32),
+        t2: jnp.asarray(rng.normal(size=(B * K, Sz, Sz, 3)), jnp.float32),
         "rev1": jnp.asarray(np.argsort(rev, axis=1)),
         "rev2": jnp.asarray(np.argsort(rev, axis=1)),
     }
