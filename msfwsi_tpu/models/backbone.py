@@ -38,6 +38,13 @@ __all__ = ["Projector", "Predictor", "MSFWSI", "SSLViews"]
 class Projector(nn.Module):
     """3-layer MLP projector: [Linear(no bias)-BN-ReLU] x2 + Linear(no bias)
     + BN(affine=False) — reference ``make_projector`` (``backbone.py:12-22``).
+
+    ``taps``: optional {"fc1","fc2","fc3"} zero arrays added to each Dense
+    output; their loss cotangents are exactly the Dense output gradients dY.
+    When set, each Dense *input* X is also sow'n into the "fac_inputs"
+    collection — together (X, dY) are the outer-product gradient factors the
+    fused Adafactor path consumes without materializing dW
+    (``train/factored.py``).
     """
 
     out_dim: int
@@ -45,15 +52,20 @@ class Projector(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
-        dense = lambda d, name: nn.Dense(
-            d,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            kernel_init=torch_linear_init,
-            name=name,
-        )
+    def __call__(self, x, *, train: bool, taps=None):
+        def dense(d, name, h):
+            if taps is not None:
+                self.sow("fac_inputs", f"{name}_in", h)
+            y = nn.Dense(
+                d,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=torch_linear_init,
+                name=name,
+            )(h)
+            return y if taps is None else y + taps[name]
+
         bn = lambda name, **kw: nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -65,24 +77,28 @@ class Projector(nn.Module):
         )
         in_dim = x.shape[-1]
         x = x.astype(self.dtype)
-        x = nn.relu(bn("bn1")(dense(in_dim, "fc1")(x)))
-        x = nn.relu(bn("bn2")(dense(in_dim, "fc2")(x)))
-        x = bn("bn3", use_scale=False, use_bias=False)(dense(self.out_dim, "fc3")(x))
+        x = nn.relu(bn("bn1")(dense(in_dim, "fc1", x)))
+        x = nn.relu(bn("bn2")(dense(in_dim, "fc2", x)))
+        x = bn("bn3", use_scale=False, use_bias=False)(dense(self.out_dim, "fc3", x))
         return x
 
 
 class Predictor(nn.Module):
     """2-layer MLP predictor: Linear(no bias)-BN-ReLU + Linear(bias) back to
-    the input dim — reference ``make_predictor`` (``backbone.py:25-31``)."""
+    the input dim — reference ``make_predictor`` (``backbone.py:25-31``).
+
+    ``taps``: optional {"fc1","fc2"} — see :class:`Projector`."""
 
     hidden_dim: int
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, taps=None):
         in_dim = x.shape[-1]
         x = x.astype(self.dtype)
+        if taps is not None:
+            self.sow("fac_inputs", "fc1_in", x)
         x = nn.Dense(
             self.hidden_dim,
             use_bias=False,
@@ -91,6 +107,8 @@ class Predictor(nn.Module):
             kernel_init=torch_linear_init,
             name="fc1",
         )(x)
+        if taps is not None:
+            x = x + taps["fc1"]
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -100,6 +118,8 @@ class Predictor(nn.Module):
             name="bn1",
         )(x)
         x = nn.relu(x)
+        if taps is not None:
+            self.sow("fac_inputs", "fc2_in", x)
         x = nn.Dense(
             in_dim,
             dtype=self.dtype,
@@ -108,6 +128,8 @@ class Predictor(nn.Module):
             bias_init=torch_linear_init,
             name="fc2",
         )(x)
+        if taps is not None:
+            x = x + taps["fc2"]
         return x
 
 
@@ -201,7 +223,10 @@ class MSFWSI(nn.Module):
     def encode_target(self, x, *, train: bool):
         return self.target_encoder(x, train=train, features="pooled")
 
-    def __call__(self, x1, x2, jigsaw_reverse_idx, *, train: bool = True):
+    def __call__(self, x1, x2, jigsaw_reverse_idx, *, train: bool = True, inter_taps=None):
+        """``inter_taps``: optional pair (view1, view2) of per-scale tap dicts
+        {"proj": {"fc1","fc2","fc3"}, "pred": {"fc1","fc2"}} of zeros, for the
+        fused outer-product Adafactor path (``train/factored.py``)."""
         B = x1[0].shape[0]
         K = self.K
 
@@ -263,10 +288,25 @@ class MSFWSI(nn.Module):
             jnp.concatenate((c, t[:, : self.n_keep, :].reshape(B, -1)), axis=1)
             for c, t in zip(context_f2, fuser_f2_split)
         )
-        ms_z1 = tuple(p(f, train=train) for p, f in zip(self.inter_projector, ms_f1))
-        ms_z2 = tuple(p(f, train=train) for p, f in zip(self.inter_projector, ms_f2))
-        ms_p1 = tuple(p(z, train=train) for p, z in zip(self.inter_predictor, ms_z1))
-        ms_p2 = tuple(p(z, train=train) for p, z in zip(self.inter_predictor, ms_z2))
+        t1 = t2 = None
+        if inter_taps is not None:
+            t1, t2 = inter_taps
+        ms_z1 = tuple(
+            p(f, train=train, taps=None if t1 is None else t1[i]["proj"])
+            for i, (p, f) in enumerate(zip(self.inter_projector, ms_f1))
+        )
+        ms_z2 = tuple(
+            p(f, train=train, taps=None if t2 is None else t2[i]["proj"])
+            for i, (p, f) in enumerate(zip(self.inter_projector, ms_f2))
+        )
+        ms_p1 = tuple(
+            p(z, train=train, taps=None if t1 is None else t1[i]["pred"])
+            for i, (p, z) in enumerate(zip(self.inter_predictor, ms_z1))
+        )
+        ms_p2 = tuple(
+            p(z, train=train, taps=None if t2 is None else t2[i]["pred"])
+            for i, (p, z) in enumerate(zip(self.inter_predictor, ms_z2))
+        )
 
         sg = jax.lax.stop_gradient
         return {

@@ -365,9 +365,13 @@ def build_parser():
     # Data settings
     parser.add_argument("--data-name", type=str)
     parser.add_argument("--data", metavar="DIR", help="path to dataset")
-    parser.add_argument("--inter-opt", type=str, default="adam", choices=("adam", "adafactor"),
+    parser.add_argument("--inter-opt", type=str, default="adam",
+                        choices=("adam", "adafactor", "fused_adafactor"),
                         help="fuser-head optimizer; adafactor = factored second moment "
-                        "(fits resnet50's ~1.6B-param heads on small-HBM chips)")
+                        "(fits resnet50's ~1.6B-param heads on small-HBM chips); "
+                        "fused_adafactor = same math with the big-kernel updates "
+                        "computed from outer-product factors without materializing "
+                        "dense gradients (fastest; see train/factored.py)")
     parser.add_argument("--inter-dtype", type=str, default="float32", choices=("float32", "bfloat16"),
                         help="fuser-head parameter storage dtype (bfloat16 halves head "
                         "param/grad HBM traffic; single-small-chip resnet50 option)")
