@@ -115,7 +115,7 @@ def main():
             {
                 "metric": f"ssl_pretrain_e2e_tile_views_per_sec_per_chip[{arch},b{batch},scale4,224px,{mode}"
                 + (",ac" if config.use_ac else "")
-                + (",adafactor" if config.inter_opt != "adam" else "")
+                + ("," + config.inter_opt if config.inter_opt != "adam" else "")
                 + (",interbf16" if config.inter_dtype == "bfloat16" else "")
                 + (
                     f",rs{''.join(map(str, config.remat_stages))}"
@@ -141,7 +141,8 @@ def hooknet_bench(mode, arch, batch, iters, warmup, rng):
     from msfwsi_tpu.train import evaluate as EV
     from msfwsi_tpu.train import finetune as FT
 
-    config = FT.FinetuneConfig(arch=arch, batch_size=batch, amp=True)
+    packed = os.environ.get("BENCH_PACKED_TAIL", "0") == "1"
+    config = FT.FinetuneConfig(arch=arch, batch_size=batch, amp=True, packed_tail=packed)
     aug_cfg = AugConfig(compute_dtype="bfloat16")
     state = FT.create_finetune_state(jax.random.key(0), config, local_batch=2)
 
@@ -159,7 +160,11 @@ def hooknet_bench(mode, arch, batch, iters, warmup, rng):
         float(metrics["loss"])
         dt = time.perf_counter() - t0
         value = batch * iters / dt / jax.device_count()
-        metric = f"hooknet_finetune_pairs_per_sec_per_chip[{arch},b{batch},256px]"
+        metric = (
+            f"hooknet_finetune_pairs_per_sec_per_chip[{arch},b{batch},256px"
+            + (",packed" if packed else "")
+            + "]"
+        )
         base = 0.0
     else:
         chunk = batch
@@ -181,7 +186,11 @@ def hooknet_bench(mode, arch, batch, iters, warmup, rng):
         int(acc[0, 0])
         dt = time.perf_counter() - t0
         value = chunk * iters / dt / jax.device_count()
-        metric = f"hooknet_inference_tiles_per_sec_per_chip[{arch},chunk{chunk},256px]"
+        metric = (
+            f"hooknet_inference_tiles_per_sec_per_chip[{arch},chunk{chunk},256px"
+            + (",packed" if packed else "")
+            + "]"
+        )
         base = 0.0
 
     print(

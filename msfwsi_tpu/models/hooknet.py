@@ -22,9 +22,11 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import s2d
 from .resnet import get_encoder
 
 __all__ = ["HookNet", "ContextUnet", "TargetUnet", "UnetDecoder"]
@@ -66,6 +68,126 @@ class Conv2dReLU(nn.Module):
         return nn.relu(x)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv``: declares the identical
+    ``kernel`` (+ optional ``bias``) variables so the packed decoder path
+    can drive the convolution itself while keeping the variable tree
+    bit-compatible with :class:`Conv2dReLU` / :class:`SegmentationHead`
+    (checkpoints interchange freely with the unpacked model)."""
+
+    out_ch: int
+    in_ch: int
+    kernel_init: Any = _decoder_conv_init
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, self.in_ch, self.out_ch), jnp.float32
+        )
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.out_ch,), jnp.float32
+        )
+        return kernel, bias
+
+
+class _PackedBN(nn.Module):
+    """BatchNorm over a space-to-depth packed activation.
+
+    Variables are bit-compatible with ``nn.BatchNorm(momentum=0.9,
+    epsilon=1e-5)`` on the *logical* (C,) channels; the input is packed
+    ``(B, h, w, 4C)`` (sub-position-major), and statistics reduce over the
+    4 sub-positions too — exactly the logical (batch, H, W) element set, so
+    the math equals the logical BN up to fp reassociation. Normalization is
+    applied as a folded per-channel affine computed in fp32."""
+
+    C: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, *, train: bool):
+        C = self.C
+        scale = self.param("scale", nn.initializers.ones_init(), (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", jnp.zeros, (C,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var", jnp.ones, (C,), jnp.float32)
+        if train:
+            acc = jnp.promote_types(xp.dtype, jnp.float32)
+            xf = s2d.packed_bn_reduce_axes(xp, C).astype(acc)
+            mean = jnp.mean(xf, axis=(0, 1, 2, 3))
+            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3)) - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        acc = jnp.promote_types(xp.dtype, jnp.float32)
+        return (xp.astype(acc) * s2d.tile_params(a) + s2d.tile_params(b)).astype(
+            self.dtype
+        )
+
+
+class PackedConv2dReLU(nn.Module):
+    """:class:`Conv2dReLU` computed in the 2x2 space-to-depth domain.
+
+    Input/output are packed ``(B, h, w, 4C)`` activations; the conv uses
+    the structured packed kernel (``ops/s2d.py``), which is exactly the
+    logical SAME 3x3 conv. ``in_groups`` gives the logical channel count of
+    each independently-packed group concatenated on the input (upsample
+    path + skip), since concat-of-packed is not packed-of-concat."""
+
+    out_ch: int
+    in_groups: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, *, train: bool):
+        in_ch = sum(self.in_groups)
+        kernel, _ = _ConvParams(self.out_ch, in_ch, name="conv")()
+        packed_kernel = _pack_grouped_kernel(kernel, self.in_groups)
+        y = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype),
+            packed_kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = _PackedBN(self.out_ch, dtype=self.dtype, name="bn")(y, train=train)
+        return nn.relu(y)
+
+
+def _pack_grouped_kernel(kernel, in_groups):
+    """Packed kernel for an input that is a concat of independently packed
+    groups: pack each logical input-channel slice separately and concat on
+    the packed input axis (matching ``concat([packed_a, packed_b], -1)``)."""
+    parts, lo = [], 0
+    for g in in_groups:
+        parts.append(s2d.pack_conv3x3_kernel(kernel[:, :, lo : lo + g, :]))
+        lo += g
+    return jnp.concatenate(parts, axis=2) if len(parts) > 1 else parts[0]
+
+
+def _packed_upsample2x(xp):
+    """Nearest 2x upsample of a packed activation, emitted packed.
+
+    ``packed@2h[I, J, p, c] = logical@2h[2I+py, 2J+px, c] =
+    logical@h[I, J, c] = packed@h[I//2, J//2, (I%2, J%2), c]`` — i.e. a
+    depth-to-space whose every sub-position block broadcasts to all four
+    output sub-positions. One full-lane data-movement pass, never
+    materializing the lane-padded logical tensor."""
+    B, h, w, C4 = xp.shape
+    t = xp.reshape(B, h, w, 4, 1, C4 // 4)
+    t = jnp.broadcast_to(t, (B, h, w, 4, 4, C4 // 4)).reshape(B, h, w, 4 * C4)
+    return s2d.depth_to_space(t)
+
+
 class DecoderBlock(nn.Module):
     """smp DecoderBlock: nearest 2x upsample -> concat skip -> 2x Conv2dReLU."""
 
@@ -82,17 +204,61 @@ class DecoderBlock(nn.Module):
         return x
 
 
+class PackedDecoderBlock(nn.Module):
+    """:class:`DecoderBlock` in the space-to-depth domain. ``x`` may be
+    logical (first packed block: packed entry happens at its upsample,
+    which costs nothing — see :func:`s2d.upsample2x_packed`) or already
+    packed; ``skip`` is always logical. Variable tree identical to
+    :class:`DecoderBlock`."""
+
+    out_ch: int
+    in_ch: int
+    skip_ch: int = 0
+    x_packed: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool):
+        xp = _packed_upsample2x(x) if self.x_packed else s2d.upsample2x_packed(x)
+        groups = [self.in_ch]
+        if skip is not None:
+            xp = jnp.concatenate([xp, s2d.space_to_depth(skip).astype(xp.dtype)], -1)
+            groups.append(self.skip_ch)
+        xp = PackedConv2dReLU(self.out_ch, tuple(groups), dtype=self.dtype, name="conv1")(
+            xp, train=train
+        )
+        xp = PackedConv2dReLU(self.out_ch, (self.out_ch,), dtype=self.dtype, name="conv2")(
+            xp, train=train
+        )
+        return xp
+
+
+# First decoder block run in the space-to-depth domain when packed_tail is
+# on. Blocks 3 (C=32 @ half resolution) and 4 (C=16 @ full resolution) are
+# the narrow tail whose lane padding (4x / 8x) dominates the finetune
+# step's HBM traffic; blocks 0-2 are >= 64 channels on small grids.
+_PACKED_FROM = 3
+
+
 class UnetDecoder(nn.Module):
     """U-Net decoder over a 5-level pyramid with optional HookNet coupling.
 
     ``export_block``: emit the center H/4 crop of that block's output (the
     context branch's hook source, block 1). ``context_channels > 0``: expect
     ``context_feats`` concatenated onto the encoder head (target branch).
+
+    ``packed_tail``: run decoder blocks >= ``_PACKED_FROM`` in the 2x2
+    space-to-depth domain (exact — see ``ops/s2d.py``) and return the final
+    activation **packed** ``(B, H/2, W/2, 4C)``; pair with
+    :class:`PackedSegmentationHead`. Avoids materializing the narrow-channel
+    (C=32/16) full-resolution activations whose 128-lane padding inflates
+    HBM traffic 4-8x on TPU.
     """
 
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     export_block: int | None = None
     expect_context: bool = False
+    packed_tail: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -107,12 +273,29 @@ class UnetDecoder(nn.Module):
                 raise ValueError("target decoder requires context_feats")
             x = jnp.concatenate([x, context_feats.astype(x.dtype)], axis=-1)
 
+        if self.packed_tail and self.export_block is not None:
+            assert self.export_block < _PACKED_FROM, "hook export must be logical"
+
         exported = None
+        packed = False
+        in_ch = x.shape[-1]
         for i, out_ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
-            x = DecoderBlock(out_ch, dtype=self.dtype, name=f"block{i}")(
-                x, skip, train=train
-            )
+            if self.packed_tail and i >= _PACKED_FROM:
+                x = PackedDecoderBlock(
+                    out_ch,
+                    in_ch=in_ch,
+                    skip_ch=0 if skip is None else skip.shape[-1],
+                    x_packed=packed,
+                    dtype=self.dtype,
+                    name=f"block{i}",
+                )(x, skip, train=train)
+                packed = True
+            else:
+                x = DecoderBlock(out_ch, dtype=self.dtype, name=f"block{i}")(
+                    x, skip, train=train
+                )
+            in_ch = out_ch
             if self.export_block is not None and i == self.export_block:
                 h = x.shape[1]
                 c0 = h // 2 - h // 8
@@ -142,6 +325,34 @@ class SegmentationHead(nn.Module):
         )(x)
 
 
+class PackedSegmentationHead(nn.Module):
+    """:class:`SegmentationHead` on a packed decoder output. Returns
+    **logical** (B, H, W, classes) logits via a final depth-to-space (the
+    only narrow-channel full-resolution tensor the packed path ever
+    materializes — same as the unpacked path's own output). Variable tree
+    identical to :class:`SegmentationHead`."""
+
+    classes: int
+    in_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        kernel, bias = _ConvParams(
+            self.classes, self.in_ch, kernel_init=_head_conv_init, use_bias=True,
+            name="conv",
+        )()
+        y = jax.lax.conv_general_dilated(
+            xp.astype(self.dtype),
+            s2d.pack_conv3x3_kernel(kernel).astype(self.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y + s2d.tile_params(bias).astype(y.dtype)
+        return s2d.depth_to_space(y)
+
+
 class ContextUnet(nn.Module):
     """Low-magnification branch; returns (masks, context_feats)."""
 
@@ -150,15 +361,22 @@ class ContextUnet(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.float32
     remat: bool = False
+    packed_tail: bool = False
 
     def setup(self):
         self.encoder = get_encoder(self.arch, dtype=self.dtype, remat=self.remat)
         self.decoder = UnetDecoder(
             decoder_channels=tuple(self.decoder_channels),
             export_block=1,
+            packed_tail=self.packed_tail,
             dtype=self.dtype,
         )
-        self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
+        if self.packed_tail:
+            self.segmentation_head = PackedSegmentationHead(
+                self.classes, in_ch=self.decoder_channels[-1], dtype=self.dtype
+            )
+        else:
+            self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
 
     def __call__(self, x, *, train: bool):
         pyramid = self.encoder(x, train=train, features="pyramid")
@@ -175,15 +393,22 @@ class TargetUnet(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.float32
     remat: bool = False
+    packed_tail: bool = False
 
     def setup(self):
         self.encoder = get_encoder(self.arch, dtype=self.dtype, remat=self.remat)
         self.decoder = UnetDecoder(
             decoder_channels=tuple(self.decoder_channels),
             expect_context=True,
+            packed_tail=self.packed_tail,
             dtype=self.dtype,
         )
-        self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
+        if self.packed_tail:
+            self.segmentation_head = PackedSegmentationHead(
+                self.classes, in_ch=self.decoder_channels[-1], dtype=self.dtype
+            )
+        else:
+            self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
 
     def __call__(self, x, context_feats, *, train: bool):
         pyramid = self.encoder(x, train=train, features="pyramid")
@@ -201,6 +426,7 @@ class HookNet(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.float32
     remat: bool = False
+    packed_tail: bool = False
 
     def setup(self):
         kw = dict(
@@ -209,6 +435,7 @@ class HookNet(nn.Module):
             decoder_channels=tuple(self.decoder_channels),
             dtype=self.dtype,
             remat=self.remat,
+            packed_tail=self.packed_tail,
         )
         self.context_branch = ContextUnet(**kw)
         self.target_branch = TargetUnet(**kw)

@@ -59,6 +59,12 @@ class FinetuneConfig:
     amp: bool = True
     use_ac: bool = False
     seed: int = 3407
+    # Run the narrow-channel decoder tail in the space-to-depth domain
+    # (exact — see ops/s2d.py). Pure TPU layout optimization: avoids the
+    # 4-8x 128-lane padding of the C=32/16 full-resolution activations.
+    # Variable trees are bit-compatible either way, so checkpoints (and
+    # torch interop) are unaffected by the setting.
+    packed_tail: bool = False
 
     @property
     def num_classes(self) -> int:
@@ -79,6 +85,7 @@ class FinetuneConfig:
             classes=self.num_classes,
             dtype=self.dtype,
             remat=self.use_ac,
+            packed_tail=self.packed_tail,
         )
 
 

@@ -56,6 +56,7 @@ def main_worker(args):
         arch=args.arch, class_names=tuple(class_names), amp=args.amp,
         seg_size=args.seg_size,
         seed=args.seed if args.seed is not None else 0,
+        packed_tail=args.packed_tail,
     )
     logger.info(f"=> creating model '{args.arch}'")
     state = FT.create_finetune_state(jax.random.key(config.seed), config)
@@ -172,6 +173,12 @@ def build_parser():
                         help="parsed but unused, as in the reference (evaluate.py:448)")
 
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--packed-tail", action=argparse.BooleanOptionalAction,
+                        default=False,
+                        help="run the narrow-channel decoder tail in the "
+                             "space-to-depth domain (exact; TPU lane-padding "
+                             "fix — see ops/s2d.py); checkpoint-compatible "
+                             "either way")
     parser.add_argument("--val-chunk", type=int, default=128,
                         help="tiles per device pass during validation (reference: 128)")
     parser.add_argument("--seg-size", type=int, default=256,

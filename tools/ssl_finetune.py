@@ -5,6 +5,7 @@ validates per-slide every epoch, and keeps the best model by val micro-F1.
 """
 
 import argparse
+import dataclasses
 import logging
 import os
 import random
@@ -79,6 +80,7 @@ def main_worker(args):
         amp=args.amp,
         seg_size=args.seg_size,
         seed=args.seed if args.seed is not None else 0,
+        packed_tail=args.packed_tail,
     )
     logger.info(f"=> creating model '{args.arch}' ({config.num_classes} classes incl. bg)")
     logger.info(f"=> scale lr from {args.lr:.4f} to {config.init_lr:.4f}")
@@ -204,8 +206,18 @@ def main_worker(args):
         config, aug_cfg, mesh=mesh if multi else None, donate=False
     )
     val_mesh = mesh if (n_dev > 1 and args.val_chunk % n_dev == 0) else None
+    # Validation runs the unpacked model: eval mode has no BN-stat or
+    # backward traffic for the packed layout to save, so the packed tail's
+    # 4x conv FLOPs make it a measured loss there (-22%; BASELINE.md).
+    # Variable trees are bit-compatible, so the train-state variables apply
+    # directly. Training itself is +22% packed.
+    val_model = (
+        dataclasses.replace(config, packed_tail=False).build_model()
+        if config.packed_tail
+        else state.model
+    )
     chunk_forward = EV.make_chunk_stats(
-        state.model, len(class_names), chunk=args.val_chunk, mesh=val_mesh
+        val_model, len(class_names), chunk=args.val_chunk, mesh=val_mesh
     )
     base_key = jax.random.key(config.seed)
 
@@ -365,6 +377,13 @@ def build_parser():
     parser.add_argument("--lam", type=float, default=1)
 
     # TPU-rebuild extras
+    parser.add_argument("--packed-tail", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="train with the narrow-channel decoder tail in "
+                             "the space-to-depth domain (exact; TPU "
+                             "lane-padding fix — see ops/s2d.py; measured "
+                             "+22%% train step). Validation/eval always run "
+                             "unpacked; checkpoints are identical either way")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--val-chunk", type=int, default=128,
                         help="tiles per device pass during validation (reference: 128)")
