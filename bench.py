@@ -142,7 +142,10 @@ def hooknet_bench(mode, arch, batch, iters, warmup, rng):
     from msfwsi_tpu.train import finetune as FT
 
     packed = os.environ.get("BENCH_PACKED_TAIL", "0") == "1"
-    config = FT.FinetuneConfig(arch=arch, batch_size=batch, amp=True, packed_tail=packed)
+    config = FT.FinetuneConfig(
+        arch=arch, batch_size=batch, amp=True,
+        packed_tail=packed, packed_logits=packed and mode == "hooknet",
+    )
     aug_cfg = AugConfig(compute_dtype="bfloat16")
     state = FT.create_finetune_state(jax.random.key(0), config, local_batch=2)
 

@@ -326,14 +326,18 @@ class SegmentationHead(nn.Module):
 
 
 class PackedSegmentationHead(nn.Module):
-    """:class:`SegmentationHead` on a packed decoder output. Returns
-    **logical** (B, H, W, classes) logits via a final depth-to-space (the
-    only narrow-channel full-resolution tensor the packed path ever
-    materializes — same as the unpacked path's own output). Variable tree
-    identical to :class:`SegmentationHead`."""
+    """:class:`SegmentationHead` on a packed decoder output. By default
+    returns **logical** (B, H, W, classes) logits via a final
+    depth-to-space (the only narrow-channel full-resolution tensor the
+    packed path ever materializes — same as the unpacked path's own
+    output); with ``emit_packed`` the d2s is skipped and the (B, H/2, W/2,
+    4*classes) packed logits are returned for a packed-domain loss
+    (``ops.losses.dice_loss_packed``). Variable tree identical to
+    :class:`SegmentationHead`."""
 
     classes: int
     in_ch: int
+    emit_packed: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -350,6 +354,8 @@ class PackedSegmentationHead(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         y = y + s2d.tile_params(bias).astype(y.dtype)
+        if self.emit_packed:
+            return y
         return s2d.depth_to_space(y)
 
 
@@ -362,6 +368,9 @@ class ContextUnet(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     packed_tail: bool = False
+    # With packed_tail: skip the head's final depth-to-space and emit
+    # (B, H/2, W/2, 4*classes) packed logits (for dice_loss_packed).
+    packed_logits: bool = False
 
     def setup(self):
         self.encoder = get_encoder(self.arch, dtype=self.dtype, remat=self.remat)
@@ -373,7 +382,8 @@ class ContextUnet(nn.Module):
         )
         if self.packed_tail:
             self.segmentation_head = PackedSegmentationHead(
-                self.classes, in_ch=self.decoder_channels[-1], dtype=self.dtype
+                self.classes, in_ch=self.decoder_channels[-1],
+                emit_packed=self.packed_logits, dtype=self.dtype,
             )
         else:
             self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
@@ -394,6 +404,9 @@ class TargetUnet(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     packed_tail: bool = False
+    # With packed_tail: skip the head's final depth-to-space and emit
+    # (B, H/2, W/2, 4*classes) packed logits (for dice_loss_packed).
+    packed_logits: bool = False
 
     def setup(self):
         self.encoder = get_encoder(self.arch, dtype=self.dtype, remat=self.remat)
@@ -405,7 +418,8 @@ class TargetUnet(nn.Module):
         )
         if self.packed_tail:
             self.segmentation_head = PackedSegmentationHead(
-                self.classes, in_ch=self.decoder_channels[-1], dtype=self.dtype
+                self.classes, in_ch=self.decoder_channels[-1],
+                emit_packed=self.packed_logits, dtype=self.dtype,
             )
         else:
             self.segmentation_head = SegmentationHead(self.classes, dtype=self.dtype)
@@ -427,6 +441,7 @@ class HookNet(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     packed_tail: bool = False
+    packed_logits: bool = False
 
     def setup(self):
         kw = dict(
@@ -436,6 +451,7 @@ class HookNet(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             packed_tail=self.packed_tail,
+            packed_logits=self.packed_logits,
         )
         self.context_branch = ContextUnet(**kw)
         self.target_branch = TargetUnet(**kw)

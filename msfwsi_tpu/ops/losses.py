@@ -21,7 +21,13 @@ from typing import Sequence
 
 import jax.numpy as jnp
 
-__all__ = ["cosine_similarity", "simsiam_loss", "msfwsi_loss", "dice_loss"]
+__all__ = [
+    "cosine_similarity",
+    "simsiam_loss",
+    "msfwsi_loss",
+    "dice_loss",
+    "dice_loss_packed",
+]
 
 
 def cosine_similarity(a, b, eps: float = 1e-8):
@@ -97,6 +103,60 @@ def dice_loss(
         onehot = onehot * m
 
     dims = (0, 1, 2)  # batch + spatial: smp's dims=(0, 2) on (N, C, HW)
+    intersection = jnp.sum(probs * onehot, axis=dims)
+    cardinality = jnp.sum(probs + onehot, axis=dims)
+    score = (2.0 * intersection + smooth) / jnp.maximum(cardinality + smooth, eps)
+    loss = 1.0 - score
+
+    present = jnp.sum(onehot, axis=dims) > 0
+    loss = loss * present.astype(loss.dtype)
+
+    if classes is not None:
+        loss = loss[jnp.asarray(classes)]
+    return loss.mean()
+
+
+def dice_loss_packed(
+    logits_packed,
+    target,
+    classes: Sequence[int] | None = None,
+    smooth: float = 0.0,
+    eps: float = 1e-7,
+    sample_mask=None,
+):
+    """:func:`dice_loss` on space-to-depth packed logits (TPU layout path).
+
+    Args:
+      logits_packed: (N, H/2, W/2, 4*C) packed logits (sub-position-major —
+        the direct output of ``models.hooknet.PackedSegmentationHead`` with
+        its final depth-to-space skipped).
+      target: (N, H, W) integer class map — *logical* resolution.
+
+    The softmax is taken within each sub-position's C-class group and the
+    per-class sums run over (batch, packed pixels, sub-positions) — exactly
+    the logical pixel set, so the result equals
+    ``dice_loss(depth_to_space(logits_packed), target)`` up to fp
+    reassociation, while never materializing the 128-lane-padded logical
+    (N, H, W, C) logits/probs tensors.
+    """
+    import jax
+
+    N, h, w, C4 = logits_packed.shape
+    num_classes = C4 // 4
+    # (N, h, w, 4, C): sub-position axis explicit, classes last.
+    z = logits_packed.astype(jnp.float32).reshape(N, h, w, 4, num_classes)
+    probs = jax.nn.softmax(z, axis=-1)
+
+    # Pack the target the same way: (N, H, W) -> (N, h, w, 4).
+    t = target.reshape(N, h, 2, w, 2).transpose(0, 1, 3, 2, 4).reshape(N, h, w, 4)
+    onehot = jnp.equal(t[..., None], jnp.arange(num_classes)).astype(jnp.float32)
+
+    if sample_mask is not None:
+        m = sample_mask.astype(jnp.float32)[:, None, None, None, None]
+        probs = probs * m
+        onehot = onehot * m
+
+    dims = (0, 1, 2, 3)  # batch + packed spatial + sub-position
     intersection = jnp.sum(probs * onehot, axis=dims)
     cardinality = jnp.sum(probs + onehot, axis=dims)
     score = (2.0 * intersection + smooth) / jnp.maximum(cardinality + smooth, eps)

@@ -26,7 +26,7 @@ import optax
 from flax import struct
 
 from ..models.hooknet import HookNet
-from ..ops.losses import dice_loss
+from ..ops.losses import dice_loss, dice_loss_packed
 from ..ops.metrics import get_stats
 
 __all__ = [
@@ -65,6 +65,11 @@ class FinetuneConfig:
     # Variable trees are bit-compatible either way, so checkpoints (and
     # torch interop) are unaffected by the setting.
     packed_tail: bool = False
+    # With packed_tail: the model emits packed (B, H/2, W/2, 4*classes)
+    # logits and the train step computes the Dice loss + argmax metrics in
+    # the packed domain (never materializing the lane-padded 256px logits).
+    # Only for training states — eval paths expect logical logits.
+    packed_logits: bool = False
 
     @property
     def num_classes(self) -> int:
@@ -86,6 +91,7 @@ class FinetuneConfig:
             dtype=self.dtype,
             remat=self.use_ac,
             packed_tail=self.packed_tail,
+            packed_logits=self.packed_tail and self.packed_logits,
         )
 
 
@@ -152,9 +158,22 @@ def finetune_loss_fn(model, params, batch_stats, batch, lam: float, num_fg: int)
         train=True,
         mutable=["batch_stats"],
     )
-    loss = (1.0 - lam) * dice_loss(
-        ctx_logits, batch["context_mask"], classes=classes, sample_mask=valid
-    ) + lam * dice_loss(tgt_logits, batch["target_mask"], classes=classes, sample_mask=valid)
+    dice = dice_loss_packed if getattr(model, "packed_logits", False) else dice_loss
+    # Skip zero-weight terms at trace time: XLA cannot fold `0.0 * x`
+    # (NaN semantics), so with the default lam=1 the whole context-branch
+    # softmax/Dice chain — and, unused, the context seg-head conv — would
+    # otherwise be computed and multiplied by zero every step. The
+    # reference pays that cost (`ssl_finetune.py` computes both terms); the
+    # loss value is identical.
+    loss = 0.0
+    if (1.0 - lam) != 0.0:
+        loss += (1.0 - lam) * dice(
+            ctx_logits, batch["context_mask"], classes=classes, sample_mask=valid
+        )
+    if lam != 0.0:
+        loss += lam * dice(
+            tgt_logits, batch["target_mask"], classes=classes, sample_mask=valid
+        )
     return loss, (tgt_logits, mutated["batch_stats"])
 
 
@@ -174,7 +193,19 @@ def finetune_train_step(state: SegTrainState, batch, lam: float, num_fg: int):
     )
     # Train-time confusion stats with background ignored
     # (ssl_finetune.py:440-447): pred-1 vs mask-1, ignore -1.
-    pred = jnp.argmax(tgt_logits.astype(jnp.float32), axis=-1)
+    if getattr(state.model, "packed_logits", False):
+        # Packed logits: argmax within each sub-position's class group,
+        # then depth-to-space the (cheap, channel-free) int predictions.
+        N, h, w, C4 = tgt_logits.shape
+        z = tgt_logits.astype(jnp.float32).reshape(N, h, w, 4, C4 // 4)
+        pp = jnp.argmax(z, axis=-1)  # (N, h, w, 4)
+        pred = (
+            pp.reshape(N, h, w, 2, 2)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(N, 2 * h, 2 * w)
+        )
+    else:
+        pred = jnp.argmax(tgt_logits.astype(jnp.float32), axis=-1)
     tp, fp, fn, tn = get_stats(
         pred - 1, batch["target_mask"] - 1, num_classes=num_fg, ignore_index=-1
     )

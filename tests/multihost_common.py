@@ -16,6 +16,31 @@ CONFIG = SSLConfig(
 )
 
 
+# 64 is the smallest seg size with a valid context-hook crop geometry
+# (block-1 map must be >= 8 px for the center h/4 crop).
+SEG = 64
+
+def make_seg_config():
+    from msfwsi_tpu.train.finetune import FinetuneConfig
+
+    # packed_tail exercises the space-to-depth decoder across the process
+    # mesh (its BN stats reduce over the global batch like everything else).
+    return FinetuneConfig(
+        arch="resnet18", class_names=("a", "b", "c"), batch_size=B,
+        amp=False, seg_size=SEG, packed_tail=True,
+    )
+
+
+def make_seg_global_batch() -> dict:
+    rng = np.random.default_rng(7)
+    return {
+        "context": rng.normal(size=(B, SEG, SEG, 3)).astype(np.float32),
+        "target": rng.normal(size=(B, SEG, SEG, 3)).astype(np.float32),
+        "context_mask": rng.integers(0, 4, size=(B, SEG, SEG)).astype(np.int32),
+        "target_mask": rng.integers(0, 4, size=(B, SEG, SEG)).astype(np.int32),
+    }
+
+
 def make_global_batch() -> dict:
     rng = np.random.default_rng(42)
     mk = lambda n: rng.normal(size=(n, IMG, IMG, 3)).astype(np.float32)

@@ -94,6 +94,33 @@ WORKER = textwrap.dedent(
             for l in jax.tree.leaves(new_state.batch_stats))
     )
     print(f"STEP{proc_id}:{loss:.8f}:{pnorm:.6f}:{bnorm:.6f}", flush=True)
+
+    # --- the jitted HookNet finetune (seg) step ACROSS the processes -----
+    # Same statement for the supervised path (+ the packed s2d decoder):
+    # cross-process gradient psum + global-batch BN stats in the two coupled
+    # U-Nets (DDP analog of ssl_finetune.py's training loop).
+    from msfwsi_tpu.train import finetune as FT
+    from multihost_common import make_seg_config, make_seg_global_batch
+
+    seg_config = make_seg_config()
+    seg_state = FT.create_finetune_state(jax.random.key(0), seg_config,
+                                         local_batch=2)
+    seg_state = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)),
+        seg_state,
+    )
+    seg_batch = {
+        k: jax.make_array_from_process_local_data(data, half(v))
+        for k, v in make_seg_global_batch().items()
+    }
+    seg_step = FT.make_jitted_finetune_step(seg_config, mesh=mesh, donate=False)
+    seg_new, seg_metrics = seg_step(seg_state, seg_batch)
+    seg_loss = float(seg_metrics["loss"])
+    seg_pnorm = float(
+        sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+            for l in jax.tree.leaves(seg_new.params))
+    )
+    print(f"SEG{proc_id}:{seg_loss:.8f}:{seg_pnorm:.6f}", flush=True)
     """
 )
 
@@ -111,7 +138,12 @@ def test_two_process_distributed(tmp_path):
     pythonpath = ":".join(
         [REPO, os.path.join(REPO, "tests"), os.environ.get("PYTHONPATH", "")]
     )
-    env = dict(os.environ, PYTHONPATH=pythonpath, JAX_PLATFORMS="cpu")
+    env = dict(
+        os.environ,
+        PYTHONPATH=pythonpath,
+        JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_cache"),
+    )
     env.pop("XLA_FLAGS", None)
 
     procs = [
@@ -127,7 +159,7 @@ def test_two_process_distributed(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=300)
+        out, err = p.communicate(timeout=600)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(out)
 
@@ -182,3 +214,29 @@ def test_two_process_distributed(tmp_path):
         np.testing.assert_allclose(got_loss, loss, rtol=0, atol=1e-5)
         np.testing.assert_allclose(got_pnorm, pnorm, rtol=1e-6)
         np.testing.assert_allclose(got_bnorm, bnorm, rtol=1e-6)
+
+    # Same parity statement for the HookNet finetune step (packed decoder).
+    segs = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("SEG"):
+                pid = int(line[3])
+                segs[pid] = [float(x) for x in line[5:].split(":")]
+    assert set(segs) == {0, 1}, f"missing SEG lines:\n{outs}"
+
+    from multihost_common import make_seg_config, make_seg_global_batch
+    from msfwsi_tpu.train import finetune as FT
+
+    seg_config = make_seg_config()
+    seg_state = FT.create_finetune_state(jax.random.key(0), seg_config, local_batch=2)
+    seg_step = FT.make_jitted_finetune_step(seg_config, mesh=None, donate=False)
+    seg_new, seg_metrics = seg_step(seg_state, make_seg_global_batch())
+    seg_loss = float(seg_metrics["loss"])
+    seg_pnorm = float(
+        sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+            for l in jax.tree.leaves(seg_new.params))
+    )
+    for pid in (0, 1):
+        got_loss, got_pnorm = segs[pid]
+        np.testing.assert_allclose(got_loss, seg_loss, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(got_pnorm, seg_pnorm, rtol=1e-6)

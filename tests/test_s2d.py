@@ -98,6 +98,60 @@ def _batch(B=2, seed=0):
     return x1, x2
 
 
+class TestPackedDice:
+    def test_dice_loss_packed_equals_logical(self):
+        from msfwsi_tpu.ops.losses import dice_loss, dice_loss_packed
+
+        rng = np.random.default_rng(0)
+        N, H, C = 3, 16, 6
+        logits = jnp.asarray(rng.normal(size=(N, H, H, C)), jnp.float32)
+        target = jnp.asarray(rng.integers(0, C, size=(N, H, H)))
+        packed = s2d.space_to_depth(logits)
+        for mask in (None, jnp.asarray([1.0, 0.0, 1.0])):
+            a = dice_loss(logits, target, classes=[1, 2, 3], sample_mask=mask)
+            b = dice_loss_packed(packed, target, classes=[1, 2, 3], sample_mask=mask)
+            np.testing.assert_allclose(b, a, rtol=0, atol=1e-6)
+
+    def test_packed_logits_train_step_matches(self):
+        """finetune_train_step with packed_tail+packed_logits equals the
+        plain model's step: loss, metrics, and updated params."""
+        from msfwsi_tpu.train import finetune as FT
+
+        kw = dict(arch="resnet18", class_names=("a", "b", "c"), batch_size=2,
+                  amp=False, seg_size=SEG, lam=0.75)
+        cfg_plain = FT.FinetuneConfig(**kw)
+        cfg_packed = FT.FinetuneConfig(packed_tail=True, packed_logits=True, **kw)
+        sp = FT.create_finetune_state(jax.random.key(0), cfg_plain, local_batch=2)
+        sq = FT.create_finetune_state(jax.random.key(0), cfg_packed, local_batch=2)
+        # identical initial variables (trees are bit-compatible)
+        sq = sq.replace(params=sp.params, batch_stats=sp.batch_stats,
+                        opt_state=sp.opt_state)
+
+        rng = np.random.default_rng(3)
+        batch = {
+            "context": jnp.asarray(rng.normal(size=(2, SEG, SEG, 3)), jnp.float32),
+            "target": jnp.asarray(rng.normal(size=(2, SEG, SEG, 3)), jnp.float32),
+            "context_mask": jnp.asarray(rng.integers(0, 4, size=(2, SEG, SEG))),
+            "target_mask": jnp.asarray(rng.integers(0, 4, size=(2, SEG, SEG))),
+        }
+        step_p = FT.make_jitted_finetune_step(cfg_plain, donate=False)
+        step_q = FT.make_jitted_finetune_step(cfg_packed, donate=False)
+        np_state, np_metrics = step_p(sp, batch)
+        nq_state, nq_metrics = step_q(sq, batch)
+        np.testing.assert_allclose(
+            float(nq_metrics["loss"]), float(np_metrics["loss"]), rtol=0, atol=1e-5
+        )
+        for k in ("tp", "fp", "fn", "tn"):
+            np.testing.assert_array_equal(nq_metrics[k], np_metrics[k])
+        pa = jax.tree_util.tree_leaves_with_path(np_state.params)
+        pb = dict(jax.tree_util.tree_leaves_with_path(nq_state.params))
+        for path, va in pa:
+            np.testing.assert_allclose(
+                pb[path], va, rtol=0, atol=5e-5,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+
 class TestPackedHookNet:
     def test_eval_forward_equal(self, models_and_vars):
         plain, packed, variables = models_and_vars

@@ -14,7 +14,8 @@ from msfwsi_tpu.train import finetune as F
 B = int(os.environ.get("B", "16"))
 config = F.FinetuneConfig(arch=os.environ.get("ARCH", "resnet18"), batch_size=B,
                           amp=True, use_ac=os.environ.get("AC", "0") == "1",
-                          packed_tail=os.environ.get("PACKED", "0") == "1")
+                          packed_tail=os.environ.get("PACKED", "0") == "1",
+                          packed_logits=os.environ.get("PACKED", "0") == "1")
 aug_cfg = AugConfig(compute_dtype="bfloat16")
 rng = np.random.default_rng(0)
 imgs = jnp.asarray(rng.integers(0, 255, size=(B, 1024, 1024, 3), dtype=np.uint8))

@@ -81,6 +81,7 @@ def main_worker(args):
         seg_size=args.seg_size,
         seed=args.seed if args.seed is not None else 0,
         packed_tail=args.packed_tail,
+        packed_logits=args.packed_tail,
     )
     logger.info(f"=> creating model '{args.arch}' ({config.num_classes} classes incl. bg)")
     logger.info(f"=> scale lr from {args.lr:.4f} to {config.init_lr:.4f}")
