@@ -145,6 +145,7 @@ def hooknet_bench(mode, arch, batch, iters, warmup, rng):
     config = FT.FinetuneConfig(
         arch=arch, batch_size=batch, amp=True,
         packed_tail=packed, packed_logits=packed and mode == "hooknet",
+        packed_from=int(os.environ.get("BENCH_PACKED_FROM", "3")),
     )
     aug_cfg = AugConfig(compute_dtype="bfloat16")
     state = FT.create_finetune_state(jax.random.key(0), config, local_batch=2)

@@ -233,10 +233,11 @@ class PackedDecoderBlock(nn.Module):
         return xp
 
 
-# First decoder block run in the space-to-depth domain when packed_tail is
-# on. Blocks 3 (C=32 @ half resolution) and 4 (C=16 @ full resolution) are
-# the narrow tail whose lane padding (4x / 8x) dominates the finetune
-# step's HBM traffic; blocks 0-2 are >= 64 channels on small grids.
+# Default first decoder block run in the space-to-depth domain when
+# packed_tail is on. Blocks 3 (C=32 @ half resolution) and 4 (C=16 @ full
+# resolution) are the narrow tail whose lane padding (4x / 8x) dominates
+# the finetune step's HBM traffic; block 2 (C=64, 2x pad on a 4x smaller
+# grid) is measurable via packed_from=2.
 _PACKED_FROM = 3
 
 
@@ -259,6 +260,7 @@ class UnetDecoder(nn.Module):
     export_block: int | None = None
     expect_context: bool = False
     packed_tail: bool = False
+    packed_from: int = _PACKED_FROM
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -274,14 +276,14 @@ class UnetDecoder(nn.Module):
             x = jnp.concatenate([x, context_feats.astype(x.dtype)], axis=-1)
 
         if self.packed_tail and self.export_block is not None:
-            assert self.export_block < _PACKED_FROM, "hook export must be logical"
+            assert self.export_block < self.packed_from, "hook export must be logical"
 
         exported = None
         packed = False
         in_ch = x.shape[-1]
         for i, out_ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
-            if self.packed_tail and i >= _PACKED_FROM:
+            if self.packed_tail and i >= self.packed_from:
                 x = PackedDecoderBlock(
                     out_ch,
                     in_ch=in_ch,
@@ -368,6 +370,7 @@ class ContextUnet(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     packed_tail: bool = False
+    packed_from: int = _PACKED_FROM
     # With packed_tail: skip the head's final depth-to-space and emit
     # (B, H/2, W/2, 4*classes) packed logits (for dice_loss_packed).
     packed_logits: bool = False
@@ -378,6 +381,7 @@ class ContextUnet(nn.Module):
             decoder_channels=tuple(self.decoder_channels),
             export_block=1,
             packed_tail=self.packed_tail,
+            packed_from=self.packed_from,
             dtype=self.dtype,
         )
         if self.packed_tail:
@@ -404,6 +408,7 @@ class TargetUnet(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     packed_tail: bool = False
+    packed_from: int = _PACKED_FROM
     # With packed_tail: skip the head's final depth-to-space and emit
     # (B, H/2, W/2, 4*classes) packed logits (for dice_loss_packed).
     packed_logits: bool = False
@@ -414,6 +419,7 @@ class TargetUnet(nn.Module):
             decoder_channels=tuple(self.decoder_channels),
             expect_context=True,
             packed_tail=self.packed_tail,
+            packed_from=self.packed_from,
             dtype=self.dtype,
         )
         if self.packed_tail:
@@ -441,6 +447,7 @@ class HookNet(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     packed_tail: bool = False
+    packed_from: int = _PACKED_FROM
     packed_logits: bool = False
 
     def setup(self):
@@ -451,6 +458,7 @@ class HookNet(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             packed_tail=self.packed_tail,
+            packed_from=self.packed_from,
             packed_logits=self.packed_logits,
         )
         self.context_branch = ContextUnet(**kw)

@@ -65,6 +65,8 @@ class FinetuneConfig:
     # Variable trees are bit-compatible either way, so checkpoints (and
     # torch interop) are unaffected by the setting.
     packed_tail: bool = False
+    # First decoder block index run packed (see models/hooknet._PACKED_FROM).
+    packed_from: int = 3
     # With packed_tail: the model emits packed (B, H/2, W/2, 4*classes)
     # logits and the train step computes the Dice loss + argmax metrics in
     # the packed domain (never materializing the lane-padded 256px logits).
@@ -91,6 +93,7 @@ class FinetuneConfig:
             dtype=self.dtype,
             remat=self.use_ac,
             packed_tail=self.packed_tail,
+            packed_from=self.packed_from,
             packed_logits=self.packed_tail and self.packed_logits,
         )
 

@@ -98,6 +98,21 @@ def _batch(B=2, seed=0):
     return x1, x2
 
 
+class TestPackedFrom2:
+    def test_eval_forward_equal_packed_from_2(self):
+        """Extending the packed region to block 2 stays exact."""
+        kw = dict(arch="resnet18", classes=4, dtype=jnp.float32)
+        plain = HookNet(**kw)
+        packed = HookNet(packed_tail=True, packed_from=2, **kw)
+        x = jnp.zeros((2, SEG, SEG, 3))
+        variables = plain.init(jax.random.key(0), x, x, train=True)
+        x1, x2 = _batch(seed=9)
+        a = jax.jit(lambda v: plain.apply(v, x1, x2, train=False))(variables)
+        b = jax.jit(lambda v: packed.apply(v, x1, x2, train=False))(variables)
+        for pa, pb in zip(a, b):
+            np.testing.assert_allclose(pb, pa, rtol=0, atol=2e-4)
+
+
 class TestPackedDice:
     def test_dice_loss_packed_equals_logical(self):
         from msfwsi_tpu.ops.losses import dice_loss, dice_loss_packed
