@@ -635,7 +635,14 @@ def center_crop(img, crop: int):
 
 
 def resize_bilinear(img, out_size: int):
-    """Full-image bilinear resize (albu Resize, cv2 INTER_LINEAR)."""
+    """Full-image bilinear resize (albu Resize, cv2 INTER_LINEAR).
+
+    Uses the MXU matmul resampler: same 2-tap sampling indices as the
+    gather form (the interpolation matrices have exactly two nonzeros per
+    row, and adding exact zeros is exact), but the TPU executes the two
+    batched matmuls at MXU speed while per-sample gathers on a
+    (B, 1024, 1024, 3) source run at <200 GB/s *and* force a physical
+    relayout of the source (round-3 finetune trace)."""
     B = img.shape[0]
     boxes = (
         jnp.zeros((B,), jnp.int32),
@@ -643,7 +650,7 @@ def resize_bilinear(img, out_size: int):
         jnp.full((B,), img.shape[1], jnp.int32),
         jnp.full((B,), img.shape[2], jnp.int32),
     )
-    return crop_and_resize(img, boxes, out_size)
+    return crop_and_resize_mxu(img, boxes, out_size)
 
 
 def resize_nearest(img, out_size: int, flip=None):

@@ -426,6 +426,7 @@ class TestDatasetCLIPaths:
             "--c16-mode", "all",
             "--scale", "2", "--img-sz", "32", "--tile-px", "64",
             "-b", "8", "--epochs", "1", "--seed", "0",
+            "--imagenet-weights", "none",
             "--log-dir", str(tmp_path / "runall"),
         )
         # both slides' pools -> 12 tiles (mode=train would see only 6)
@@ -468,6 +469,7 @@ class TestDatasetCLIPaths:
             "--data-name", "paip", "--data", str(data), "--fold", "0",
             "--scale", "2", "--img-sz", "32", "--tile-px", "64",
             "-b", "8", "--epochs", "1", "--save-freq", "1", "--seed", "0",
+            "--imagenet-weights", "none",
             "--log-dir", str(tmp_path / "pre"),
         )
         assert "Size of data: 8" in out  # val slide's tiles excluded
