@@ -14,6 +14,7 @@ from msfwsi_tpu.train import finetune as FT
 from msfwsi_tpu.train import ssl as S
 
 
+@pytest.mark.slow
 class TestFusedStepConsistency:
     def test_fused_equals_aug_then_step(self):
         """One jit (aug+step) must produce exactly the same update as
@@ -86,6 +87,7 @@ class TestServingExport:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 class TestShardedValidation:
     def test_sharded_slide_inference_matches_single(self):
         """Per-slide chunked inference sharded over the 8-device mesh must

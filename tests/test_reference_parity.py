@@ -170,6 +170,7 @@ def flax_side():
     return model, variables, inputs
 
 
+@pytest.mark.slow
 class TestFlaxToTorch:
     """Our random init -> flax_msfwsi_to_torch -> literal reference model."""
 
@@ -242,6 +243,7 @@ class TestFlaxToTorch:
         _assert_outputs_match(ref_out, flax_out)
 
 
+@pytest.mark.slow
 class TestTorchToFlax:
     """Literal reference random init -> .pth.tar on disk -> load_torch_file
     -> torch_msfwsi_to_flax -> our model (the released-weights path)."""

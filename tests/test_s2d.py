@@ -98,6 +98,7 @@ def _batch(B=2, seed=0):
     return x1, x2
 
 
+@pytest.mark.slow
 class TestPackedFrom2:
     def test_eval_forward_equal_packed_from_2(self):
         """Extending the packed region to block 2 stays exact."""
@@ -113,6 +114,7 @@ class TestPackedFrom2:
             np.testing.assert_allclose(pb, pa, rtol=0, atol=2e-4)
 
 
+@pytest.mark.slow
 class TestPackedDice:
     def test_dice_loss_packed_equals_logical(self):
         from msfwsi_tpu.ops.losses import dice_loss, dice_loss_packed
@@ -167,6 +169,7 @@ class TestPackedDice:
             )
 
 
+@pytest.mark.slow
 class TestPackedHookNet:
     def test_eval_forward_equal(self, models_and_vars):
         plain, packed, variables = models_and_vars

@@ -139,6 +139,7 @@ class TestRemat:
         assert losses[True] == pytest.approx(losses[False], rel=1e-5)
 
 
+@pytest.mark.slow
 class TestMultiDevice:
     def test_model_parallel_fuser_sharding(self):
         """dp x tp: fuser projector weights split over the "model" axis must
