@@ -4,6 +4,8 @@ export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 cd /root/repo
 echo "=== r18 default headline (pipeline b32 adam) ==="
 timeout 1800 python bench.py
+echo "=== r18 pipeline b64 probe ==="
+BENCH_BATCH=64 timeout 1800 python bench.py
 echo "=== r50 canonical (fused_adafactor) ==="
 BENCH_ARCH=resnet50 BENCH_BATCH=16 BENCH_USE_AC=1 BENCH_REMAT_STAGES=1,2 \
 BENCH_INTER_DTYPE=bfloat16 BENCH_INTER_OPT=fused_adafactor timeout 1800 python bench.py
