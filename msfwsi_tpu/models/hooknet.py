@@ -181,11 +181,72 @@ def _packed_upsample2x(xp):
     logical@h[I, J, c] = packed@h[I//2, J//2, (I%2, J%2), c]`` — i.e. a
     depth-to-space whose every sub-position block broadcasts to all four
     output sub-positions. One full-lane data-movement pass, never
-    materializing the lane-padded logical tensor."""
+    materializing the lane-padded logical tensor. (Kept for the unfused
+    reference path and tests; the default packed block fuses this shuffle
+    into conv1 via ``s2d.pack_upconv3x3_kernel`` instead.)"""
     B, h, w, C4 = xp.shape
     t = xp.reshape(B, h, w, 4, 1, C4 // 4)
     t = jnp.broadcast_to(t, (B, h, w, 4, 4, C4 // 4)).reshape(B, h, w, 4 * C4)
     return s2d.depth_to_space(t)
+
+
+class PackedEntryConv2dReLU(nn.Module):
+    """First :class:`Conv2dReLU` of a packed decoder block with the
+    upsample / skip-s2d shuffles folded into the convolution kernels
+    (exact — see ``ops/s2d.py`` routing derivations):
+
+      * ``x`` packed: one ``lhs_dilation=(2,2)`` conv with the structured
+        (4, 4, 4Cin, 4Cout) kernel computes [packed 2x upsample -> logical
+        SAME 3x3 conv] without materializing the upsampled tensor;
+      * ``x`` logical (first packed block): the 2x-upsample entry is a free
+        channel tile + packed conv (the fused alternative measured slower);
+      * ``skip`` (always logical): a window-4 stride-2 conv consumes it
+        directly — its space-to-depth never runs. The two convs sum (conv
+        linearity over input-channel groups == the concat formulation).
+
+    Variable tree identical to :class:`PackedConv2dReLU` / the unpacked
+    :class:`Conv2dReLU` (one ``conv/kernel`` of logical shape
+    (3, 3, in_ch + skip_ch, out_ch) plus ``bn``), so checkpoints
+    interchange freely with every other decoder variant."""
+
+    out_ch: int
+    in_ch: int
+    skip_ch: int = 0
+    x_packed: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, *, train: bool):
+        kernel, _ = _ConvParams(self.out_ch, self.in_ch + self.skip_ch, name="conv")()
+        wx = kernel[:, :, : self.in_ch]
+        if self.x_packed:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                s2d.pack_upconv3x3_kernel(wx).astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((2, 2), (2, 2)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                s2d.upsample2x_packed(x).astype(self.dtype),
+                s2d.pack_conv3x3_kernel(wx).astype(self.dtype),
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if skip is not None:
+            wsk = kernel[:, :, self.in_ch :]
+            y = y + jax.lax.conv_general_dilated(
+                skip.astype(self.dtype),
+                s2d.pack_skipconv3x3_kernel(wsk).astype(self.dtype),
+                window_strides=(2, 2),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        y = _PackedBN(self.out_ch, dtype=self.dtype, name="bn")(y, train=train)
+        return nn.relu(y)
 
 
 class DecoderBlock(nn.Module):
@@ -215,18 +276,31 @@ class PackedDecoderBlock(nn.Module):
     in_ch: int
     skip_ch: int = 0
     x_packed: bool = False
+    fused_entry: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, skip, *, train: bool):
-        xp = _packed_upsample2x(x) if self.x_packed else s2d.upsample2x_packed(x)
-        groups = [self.in_ch]
-        if skip is not None:
-            xp = jnp.concatenate([xp, s2d.space_to_depth(skip).astype(xp.dtype)], -1)
-            groups.append(self.skip_ch)
-        xp = PackedConv2dReLU(self.out_ch, tuple(groups), dtype=self.dtype, name="conv1")(
-            xp, train=train
-        )
+        if self.fused_entry:
+            xp = PackedEntryConv2dReLU(
+                self.out_ch,
+                in_ch=self.in_ch,
+                skip_ch=0 if skip is None else self.skip_ch,
+                x_packed=self.x_packed,
+                dtype=self.dtype,
+                name="conv1",
+            )(x, skip, train=train)
+        else:
+            xp = _packed_upsample2x(x) if self.x_packed else s2d.upsample2x_packed(x)
+            groups = [self.in_ch]
+            if skip is not None:
+                xp = jnp.concatenate(
+                    [xp, s2d.space_to_depth(skip).astype(xp.dtype)], -1
+                )
+                groups.append(self.skip_ch)
+            xp = PackedConv2dReLU(
+                self.out_ch, tuple(groups), dtype=self.dtype, name="conv1"
+            )(xp, train=train)
         xp = PackedConv2dReLU(self.out_ch, (self.out_ch,), dtype=self.dtype, name="conv2")(
             xp, train=train
         )

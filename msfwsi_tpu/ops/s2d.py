@@ -40,6 +40,8 @@ __all__ = [
     "depth_to_space",
     "upsample2x_packed",
     "pack_conv3x3_kernel",
+    "pack_upconv3x3_kernel",
+    "pack_skipconv3x3_kernel",
     "tile_params",
 ]
 
@@ -131,6 +133,102 @@ def _build_route():
 
 
 _ROUTE = _build_route()
+
+
+def _build_up_route():
+    """Routing for :func:`pack_upconv3x3_kernel`: a logical
+    [nearest-2x-upsample -> SAME 3x3 conv] equals ONE ``lhs_dilation=(2,2)``
+    conv taking the *packed* input directly to the *packed* output at 2x the
+    packed grid — no shuffle, no materialized upsampled tensor.
+
+    Derivation (rows; columns identical). Output packed row ``I`` holds
+    logical rows ``Y = 2I + qy``; the logical conv reads upsampled rows
+    ``s = Y + dy - 1``; nearest upsampling reads source logical row
+    ``a = s // 2``, i.e. packed input row ``A = a // 2`` at sub-position
+    ``py = a % 2``. An lhs-dilated conv reads dilated index
+    ``I - pad_lo + u`` = ``2A`` (odd dilated indices are the inserted
+    zeros), so tap ``u = 2A - I + pad_lo``; with ``pad_lo = 2`` every
+    ``(I parity, qy, dy)`` lands in ``u ∈ {0..3}`` (window 4), even taps
+    serving even output rows and odd taps odd rows. Two ``dy`` taps that
+    read the same duplicated source pixel land in the same kernel slot and
+    their weights sum — exactly the nearest-upsample algebra. Out-of-range
+    logical reads fall on the zero padding (``pad = (2, 2)``), reproducing
+    the logical SAME boundary. The routing is parity-invariant away from
+    edges, so it is built at a representative interior row (I = 2 + i0)."""
+    import numpy as np
+
+    route = np.zeros((4, 4, 4, 4, 3, 3), np.float32)  # u, v, p_in, q_out, dy, dx
+    for i0 in (0, 1):
+        for j0 in (0, 1):
+            for qy in (0, 1):
+                for dy in range(3):
+                    I = 2 + i0
+                    a = (2 * I + qy + dy - 1) // 2
+                    py, u = a % 2, 2 * (a // 2) - I + 2
+                    for qx in (0, 1):
+                        for dx in range(3):
+                            J = 2 + j0
+                            b = (2 * J + qx + dx - 1) // 2
+                            px, v = b % 2, 2 * (b // 2) - J + 2
+                            route[u, v, py * 2 + px, qy * 2 + qx, dy, dx] += 1
+    return route
+
+
+_UP_ROUTE = _build_up_route()
+
+
+def pack_upconv3x3_kernel(kernel):
+    """Kernel fusing [nearest 2x upsample -> logical SAME 3x3 conv] into one
+    packed-to-packed conv: use with ``lhs_dilation=(2, 2)``, window strides
+    (1, 1), padding ((2, 2), (2, 2)) on a packed ``(B, h, w, 4*Cin)`` input;
+    the output is the packed ``(B, 2h, 2w, 4*Cout)`` conv result. Replaces
+    the broadcast + depth-to-space relayout copies of an explicit packed
+    upsample (the top flagged HBM ops of the round-3 finetune trace;
+    measured 4.0 -> 1.3 ms at the HookNet block4 shapes, b32)."""
+    kh, kw, Cin, Cout = kernel.shape
+    assert kh == 3 and kw == 3, (kh, kw)
+    packed = jnp.einsum(
+        "uvpqyx,yxio->uvpiqo", jnp.asarray(_UP_ROUTE, kernel.dtype), kernel
+    )
+    return packed.reshape(4, 4, 4 * Cin, 4 * Cout)
+
+
+def _build_skip_route():
+    """Routing for :func:`pack_skipconv3x3_kernel`: output packed row ``i``
+    holds logical conv rows ``2i + qy`` reading logical input rows
+    ``2i + qy + dy - 1`` — a stride-2 window-4 conv with ``pad_lo = 1``
+    (tap ``u = qy + dy``), taking the *logical* skip straight to the packed
+    domain with logical-SAME boundary semantics."""
+    import numpy as np
+
+    route = np.zeros((4, 4, 4, 3, 3), np.float32)  # u, v, q_out, dy, dx
+    for qy in (0, 1):
+        for dy in range(3):
+            for qx in (0, 1):
+                for dx in range(3):
+                    route[qy + dy, qx + dx, qy * 2 + qx, dy, dx] += 1
+    return route
+
+
+_SKIP_ROUTE = _build_skip_route()
+
+
+def pack_skipconv3x3_kernel(kernel):
+    """Kernel computing ``space_to_depth(conv3x3_SAME(skip))`` directly from
+    the logical ``(B, 2h, 2w, Cin)`` skip: one conv with window (4, 4),
+    strides (2, 2), padding ((1, 1), (1, 1)) — the skip's s2d shuffle never
+    runs (measured 2.6 -> 1.8 ms at the HookNet block3 skip shapes, b32).
+
+    (The third input family — the 2x-upsample *entry* into the packed
+    domain, ``upsample2x_packed`` — stays a channel tile + packed conv: the
+    equivalent summed-tap 3x3 conv on the narrow logical input measured
+    ~3x slower, so it is deliberately NOT fused.)"""
+    kh, kw, Cin, Cout = kernel.shape
+    assert kh == 3 and kw == 3, (kh, kw)
+    packed = jnp.einsum(
+        "uvqyx,yxio->uviqo", jnp.asarray(_SKIP_ROUTE, kernel.dtype), kernel
+    )
+    return packed.reshape(4, 4, Cin, 4 * Cout)
 
 
 def tile_params(p):

@@ -73,6 +73,77 @@ class TestS2DOps:
         up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         np.testing.assert_array_equal(_packed_upsample2x(xp), s2d.space_to_depth(up))
 
+    def test_pack_upconv_kernel_matches_composition(self):
+        """lhs_dilation=2 fused kernel == [packed 2x upsample -> packed 3x3
+        conv] == fully logical [nearest up2 -> SAME conv3x3 -> s2d]."""
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(2, 12, 16, 5)), jnp.float32) + 1.0
+        k = jnp.asarray(rng.normal(size=(3, 3, 5, 4)), jnp.float32)
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        want = s2d.space_to_depth(_conv3x3(up, k))
+        got = jax.lax.conv_general_dilated(
+            s2d.space_to_depth(x),
+            s2d.pack_upconv3x3_kernel(k),
+            (1, 1),
+            padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+    def test_pack_skipconv_kernel_matches_composition(self):
+        """Window-4 stride-2 fused kernel on the logical skip ==
+        s2d(conv3x3_SAME(skip)), including the SAME boundary."""
+        rng = np.random.default_rng(7)
+        skip = jnp.asarray(rng.normal(size=(2, 12, 16, 5)), jnp.float32) + 1.0
+        k = jnp.asarray(rng.normal(size=(3, 3, 5, 4)), jnp.float32)
+        want = s2d.space_to_depth(_conv3x3(skip, k))
+        got = jax.lax.conv_general_dilated(
+            skip,
+            s2d.pack_skipconv3x3_kernel(k),
+            (2, 2),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+    @pytest.mark.parametrize("x_packed,with_skip", [
+        (False, True), (True, False), (True, True),
+    ])
+    def test_packed_entry_block_fused_equals_unfused(self, x_packed, with_skip):
+        """PackedDecoderBlock with the fused entry conv equals the
+        shuffle+concat formulation on identical parameters (both BN stats
+        and output), for every block shape in the decoder tail."""
+        from msfwsi_tpu.models.hooknet import PackedDecoderBlock
+
+        rng = np.random.default_rng(8)
+        in_ch, skip_ch, out_ch, h = 6, 5, 4, 8
+        x = jnp.asarray(
+            rng.normal(size=(2, h, h, 4 * in_ch if x_packed else in_ch)),
+            jnp.float32,
+        )
+        skip_h = 4 * h if x_packed else 2 * h
+        skip = (
+            jnp.asarray(rng.normal(size=(2, skip_h, skip_h, skip_ch)), jnp.float32)
+            if with_skip
+            else None
+        )
+        kw = dict(out_ch=out_ch, in_ch=in_ch,
+                  skip_ch=skip_ch if with_skip else 0, x_packed=x_packed)
+        fused = PackedDecoderBlock(fused_entry=True, **kw)
+        plain = PackedDecoderBlock(fused_entry=False, **kw)
+        variables = plain.init(jax.random.key(0), x, skip, train=True)
+        assert jax.tree_util.tree_structure(
+            fused.init(jax.random.key(0), x, skip, train=True)
+        ) == jax.tree_util.tree_structure(variables)
+        run = lambda m: m.apply(variables, x, skip, train=True, mutable=["batch_stats"])
+        ya, sa = run(plain)
+        yb, sb = run(fused)
+        np.testing.assert_allclose(yb, ya, rtol=0, atol=1e-5)
+        jax.tree_util.tree_map(
+            lambda u, w: np.testing.assert_allclose(w, u, rtol=0, atol=1e-5), sa, sb
+        )
+
 
 SEG = 64
 
