@@ -156,3 +156,56 @@ class TestDice:
         g = jax.grad(lambda lg: L.dice_loss(lg, target, classes=[1, 2, 3]))(logits)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestDicePackedVJP:
+    """dice_loss_packed's custom VJP vs autodiff of the logical dice_loss
+    through depth_to_space — value and gradient must agree (the custom
+    backward exists to control HBM materialization, not to change math)."""
+
+    @pytest.mark.parametrize("seed,classes,masked", [
+        (0, [1, 2, 3], False),
+        (1, None, False),
+        (2, [1, 2], True),
+    ])
+    def test_grad_matches_logical_autodiff(self, seed, classes, masked):
+        import jax
+        from msfwsi_tpu.ops import s2d
+
+        rng = np.random.default_rng(seed)
+        N, H, C = 3, 8, 4
+        zp = jnp.asarray(rng.normal(size=(N, H // 2, H // 2, 4 * C)), jnp.float32)
+        target = jnp.asarray(rng.integers(0, C, size=(N, H, H)))
+        mask = jnp.asarray([1.0, 0.0, 1.0]) if masked else None
+
+        f_packed = lambda z: L.dice_loss_packed(z, target, classes=classes, sample_mask=mask)
+        f_logical = lambda z: L.dice_loss(
+            s2d.depth_to_space(z), target, classes=classes, sample_mask=mask
+        )
+        va, ga = jax.value_and_grad(f_packed)(zp)
+        vb, gb = jax.value_and_grad(f_logical)(zp)
+        np.testing.assert_allclose(float(va), float(vb), rtol=0, atol=1e-6)
+        np.testing.assert_allclose(ga, gb, rtol=0, atol=1e-6)
+
+    def test_grad_absent_class_and_bf16(self):
+        import jax
+        from msfwsi_tpu.ops import s2d
+
+        rng = np.random.default_rng(3)
+        N, H, C = 2, 8, 5
+        zp32 = jnp.asarray(rng.normal(size=(N, H // 2, H // 2, 4 * C)), jnp.float32)
+        target = jnp.asarray(rng.integers(0, 3, size=(N, H, H)))  # classes 3,4 absent
+        f = lambda z: L.dice_loss_packed(z, target, classes=[1, 2, 3, 4])
+        g32 = jax.grad(f)(zp32)
+        glog = jax.grad(lambda z: L.dice_loss(
+            s2d.depth_to_space(z), target, classes=[1, 2, 3, 4]))(zp32)
+        np.testing.assert_allclose(g32, glog, rtol=0, atol=1e-6)
+        # bf16 logits: cotangent comes back bf16, finite, and close to the
+        # f32 gradient of the bf16-rounded input.
+        zp16 = zp32.astype(jnp.bfloat16)
+        g16 = jax.grad(f)(zp16)
+        assert g16.dtype == jnp.bfloat16
+        ref = jax.grad(f)(zp16.astype(jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(g16, np.float32), np.asarray(ref), rtol=0.05, atol=1e-4
+        )
