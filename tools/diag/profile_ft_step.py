@@ -21,7 +21,7 @@ rng = np.random.default_rng(0)
 imgs = jnp.asarray(rng.integers(0, 255, size=(B, 1024, 1024, 3), dtype=np.uint8))
 masks = jnp.asarray(rng.integers(0, 5, size=(B, 1024, 1024), dtype=np.int32))
 state = F.create_finetune_state(jax.random.key(0), config, local_batch=B)
-step = F.make_jitted_fused_finetune_step(config, aug_cfg, donate=True)
+step = F.make_jitted_fused_finetune_step(config, aug_cfg, donate=os.environ.get("DONATE", "1") == "1")
 for i in range(2):
     state, m = step(state, imgs, masks, jax.random.fold_in(jax.random.key(1), i))
 print("warm loss", float(m["loss"]))

@@ -253,6 +253,43 @@ def main_worker(args):
         progress = ProgressMeter(len(loader), [batch_time, losses], prefix=f"Train epoch: [{epoch}]")
 
         tps, fps, fns, tns = [], [], [], []
+        # Per-step metric fetches are deferred: on the tunneled TPU backend
+        # every host sync costs ~35-40 ms (more than the 38 ms train step
+        # itself — measured 250 vs 834 pairs/s), so steps are queued
+        # back-to-back and the small device-side metrics are drained in ONE
+        # packed fetch per print window. The drained numbers are identical
+        # to the per-step fetches (same meter updates, same tp/fp/fn/tn).
+        pending = []  # (metrics dict of small device arrays, n_valid)
+
+        def drain_pending():
+            if not pending:
+                return
+            packed = jnp.stack(
+                [
+                    jnp.concatenate(
+                        [
+                            m["loss"].reshape(1).astype(jnp.float32),
+                            m["tp"].ravel().astype(jnp.float32),
+                            m["fp"].ravel().astype(jnp.float32),
+                            m["fn"].ravel().astype(jnp.float32),
+                            m["tn"].ravel().astype(jnp.float32),
+                        ]
+                    )
+                    for m, _ in pending
+                ]
+            )
+            arr = np.asarray(packed)  # one device->host round trip
+            BC = pending[0][0]["tp"].shape  # (batch, classes); counts
+            n = int(np.prod(BC))  # <= 256*256 pixels — exact in float32
+            for row, (_, n_valid) in zip(arr, pending):
+                losses.update(float(row[0]), n_valid)
+                stats = row[1:].reshape(4, *BC).astype(np.int64)
+                tps.append(stats[0][:n_valid])
+                fps.append(stats[1][:n_valid])
+                fns.append(stats[2][:n_valid])
+                tns.append(stats[3][:n_valid])
+            pending.clear()
+
         end = time.time()
         steps_total = len(loader)
         for it, (bimgs, bmasks) in enumerate(loader.epoch(epoch)):
@@ -267,17 +304,15 @@ def main_worker(args):
                 state, metrics = step_fn(state, bimgs, bmasks, key, valid)
             else:
                 state, metrics = step_fn(state, bimgs, bmasks, key)
-            losses.update(float(metrics["loss"]), n_valid)
-            tps.append(np.asarray(metrics["tp"])[:n_valid])
-            fps.append(np.asarray(metrics["fp"])[:n_valid])
-            fns.append(np.asarray(metrics["fn"])[:n_valid])
-            tns.append(np.asarray(metrics["tn"])[:n_valid])
+            pending.append((metrics, n_valid))
             batch_time.update(time.time() - end)
             end = time.time()
             if it % args.print_freq == 0:
+                drain_pending()
                 logger.info(progress.display(it))
             if args.steps_per_epoch and it + 1 >= args.steps_per_epoch:
                 break
+        drain_pending()
 
         train_f1 = float(
             M.f1_score(

@@ -295,7 +295,9 @@ def main_worker(args):
         if profiling:
             jax.profiler.stop_trace()
 
-        losses = [float(x) for x in pending]
+        # One packed device->host fetch for the whole epoch's loss scalars
+        # (per-scalar float() would pay one ~35-40 ms tunnel round trip each).
+        losses = np.asarray(jnp.stack(pending)).tolist() if pending else []
         loss = float(np.mean(losses)) if losses else float("nan")
         is_best = loss <= best_loss
         best_loss = min(loss, best_loss)
