@@ -147,7 +147,7 @@ def build_parser():
     parser.add_argument("--rank", default=-1, type=int)
     parser.add_argument("--dist-url", default="", type=str)
     parser.add_argument("--dist-backend", default="nccl", type=str)
-    parser.add_argument("--seed", type=int)
+    parser.add_argument("--seed", default=3407, type=int)  # reference evaluate.py:419
     parser.add_argument("--gpu", default=None, type=int)
     parser.add_argument("--multiprocessing-distributed", action="store_true")
 
