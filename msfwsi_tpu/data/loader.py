@@ -11,8 +11,11 @@ the TPU:
   * batches are decoded into one contiguous buffer by the native C++
     tileio library (parallel libpng/libjpeg, ``msfwsi_tpu/native`` — ~2x a
     PIL thread pool, bit-exact) when available, else a PIL thread pool,
-    and staged into a depth-2 prefetch queue (double buffering) while the
-    device computes;
+    and staged through a two-stage prefetch pipeline — a decode thread and
+    a host->device transfer thread, each buffering ``prefetch`` batches —
+    so decode(i+2), H2D(i+1), and compute(i) overlap (``device_put`` blocks
+    on some backends, e.g. the tunneled axon TPU, so it gets its own
+    thread off the consumer's critical path);
   * arrays are placed on device (optionally with a batch `NamedSharding`)
     as raw uint8 — 4x less PCIe/ICI traffic than float32.
 """
@@ -187,8 +190,31 @@ class TileBatchLoader:
         rem = n % self.batch_size
         return rem if (rem and not self.drop_last) else self.batch_size
 
+    def _place(self, item):
+        """Host batch -> device arrays under the configured sharding."""
+        if self.sharding is not None:
+            if jax.process_count() > 1:
+                # Each host holds only its shard of the global batch —
+                # assemble the logical global array from local data.
+                return jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(self.sharding, x),
+                    item,
+                )
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self.sharding), item
+            )
+        return jax.tree_util.tree_map(jax.device_put, item)
+
     def epoch(self, epoch: int = 0) -> Iterator:
-        """Yield one epoch of batches (device arrays)."""
+        """Yield one epoch of batches (device arrays).
+
+        Two background stages pipeline the host work against device compute:
+        a decode thread fills a host-batch queue, and a transfer thread moves
+        those batches onto the device (``device_put`` blocks on some backends
+        — e.g. the tunneled axon TPU — so it must not sit on the consumer's
+        critical path). Steady state overlaps decode(i+2) / H2D(i+1) /
+        compute(i); each queue holds ``prefetch`` batches.
+        """
         # SeedSequence is a stable, documented mixer (unlike builtin hash(),
         # an implementation detail that an interpreter upgrade could change
         # and silently reorder data across a resumed run).
@@ -200,53 +226,93 @@ class TileBatchLoader:
             shuffle=self.shuffle,
         )
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        q_host: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        q_dev: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        errors: list[BaseException] = []
+        # Set when the consumer abandons the generator mid-epoch (e.g. a
+        # --steps-per-epoch cap breaks out of the loop): lets the background
+        # threads drop out of blocking queue ops instead of leaking.
+        abandoned = threading.Event()
+
+        def _put(q: queue.Queue, item) -> bool:
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def _get(q: queue.Queue):
+            while not abandoned.is_set():
+                try:
+                    return q.get(timeout=0.2)
+                except queue.Empty:
+                    continue
+            return stop
 
         def produce():
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for batch_files in self._batches(files):
-                    if self._use_native:
-                        try:
-                            q.put(self._decode_batch_native(batch_files))
-                            continue
-                        except Exception:
-                            self._use_native = False  # corrupt/odd file: fall back
-                    arrays = list(pool.map(self.load_fn, batch_files))
-                    if isinstance(arrays[0], tuple):
-                        stacked = tuple(
-                            np.stack([a[j] for a in arrays]) for j in range(len(arrays[0]))
-                        )
-                    else:
-                        stacked = np.stack(arrays)
-                    q.put(stacked)
-            q.put(stop)
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for batch_files in self._batches(files):
+                        if self._use_native:
+                            try:
+                                decoded = self._decode_batch_native(batch_files)
+                            except Exception:
+                                self._use_native = False  # corrupt/odd file: fall back
+                            else:
+                                if not _put(q_host, decoded):
+                                    return
+                                continue
+                        arrays = list(pool.map(self.load_fn, batch_files))
+                        if isinstance(arrays[0], tuple):
+                            stacked = tuple(
+                                np.stack([a[j] for a in arrays])
+                                for j in range(len(arrays[0]))
+                            )
+                        else:
+                            stacked = np.stack(arrays)
+                        if not _put(q_host, stacked):
+                            return
+            except BaseException as e:  # propagate to the consumer, don't hang
+                errors.append(e)
+            finally:
+                _put(q_host, stop)
 
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
-        multihost = jax.process_count() > 1
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if self.sharding is not None:
-                if multihost:
-                    # Each host holds only its shard of the global batch —
-                    # assemble the logical global array from local data.
-                    item = jax.tree_util.tree_map(
-                        lambda x: jax.make_array_from_process_local_data(
-                            self.sharding, x
-                        ),
-                        item,
-                    )
-                else:
-                    item = jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, self.sharding), item
-                    )
-            else:
-                item = jax.tree_util.tree_map(jax.device_put, item)
-            yield item
-        t.join()
+        def transfer():
+            try:
+                while True:
+                    item = _get(q_host)
+                    if item is stop:
+                        break
+                    if not _put(q_dev, self._place(item)):
+                        return
+            except BaseException as e:
+                errors.append(e)
+            finally:
+                _put(q_dev, stop)
+
+        t_prod = threading.Thread(target=produce, daemon=True)
+        t_xfer = threading.Thread(target=transfer, daemon=True)
+        t_prod.start()
+        t_xfer.start()
+        completed = False
+        try:
+            while True:
+                item = q_dev.get()
+                if item is stop:
+                    completed = True
+                    break
+                yield item
+        finally:
+            abandoned.set()
+            t_prod.join()
+            t_xfer.join()
+            # Surface background failures only on a normally-consumed epoch;
+            # an abandoned generator (GeneratorExit) must close quietly.
+            if errors and completed:
+                raise errors[0]
 
 
 def load_slide_arrays(root: str, group, num_threads: int = 8):

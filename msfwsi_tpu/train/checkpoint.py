@@ -25,12 +25,14 @@ from __future__ import annotations
 
 import os
 import re
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
     "save_train_state",
     "restore_train_state",
+    "wait_for_saves",
     "latest_checkpoint",
     "resolve_checkpoint_arg",
     "load_torch_file",
@@ -57,23 +59,61 @@ def _state_payload(state) -> dict:
     }
 
 
-def save_train_state(ckpt_dir: str, state, epoch: int, keep_name: str | None = None) -> str:
-    """Save as ``<ckpt_dir>/checkpoint_{epoch:04d}`` (or ``keep_name``)."""
-    import orbax.checkpoint as ocp
+_checkpointer = None
 
+
+def _get_checkpointer():
+    """Process-wide Orbax ``StandardCheckpointer`` (an ``AsyncCheckpointer``:
+    ``save`` returns once values are snapshotted to host; serialization runs
+    in background threads, overlapping checkpoint IO with the next training
+    epochs — the reference's ``torch.save`` blocks the loop instead,
+    ``ssl_train.py:375-387``). Consecutive saves self-serialize (Orbax waits
+    for the in-flight save); readers must call :func:`wait_for_saves`."""
+    global _checkpointer
+    if _checkpointer is None:
+        import atexit
+
+        import orbax.checkpoint as ocp
+
+        _checkpointer = ocp.StandardCheckpointer()
+        # Don't let a CLI process exit with a half-written checkpoint.
+        atexit.register(_checkpointer.wait_until_finished)
+    return _checkpointer
+
+
+def wait_for_saves() -> None:
+    """Block until all in-flight async checkpoint saves are durable."""
+    if _checkpointer is not None:
+        _checkpointer.wait_until_finished()
+
+
+def save_train_state(
+    ckpt_dir: str, state, epoch: int, keep_name: str | None = None, block: bool = False
+) -> str:
+    """Save as ``<ckpt_dir>/checkpoint_{epoch:04d}`` (or ``keep_name``).
+
+    Asynchronous by default: returns after the device->host snapshot, with
+    directory finalization in the background (``block=True`` to wait)."""
     name = keep_name or f"checkpoint_{epoch:04d}"
     path = os.path.abspath(os.path.join(ckpt_dir, name))
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _state_payload(state), force=True)
+    ckptr = _get_checkpointer()
+    # Fetch the whole payload to host up front: jax.device_get issues
+    # copy_to_host_async on every leaf before converting, pipelining the
+    # device->host transfers (~20x a per-array synchronous fetch through
+    # the tunneled axon backend). Orbax then serializes pure host arrays,
+    # so the async write needs no further device access.
+    payload = jax.device_get(_state_payload(state))
+    ckptr.save(path, payload, force=True)
+    if block:
+        ckptr.wait_until_finished()
     return path
 
 
 def restore_train_state(path: str, state):
     """Restore a saved payload into ``state`` (same model/optimizer config)."""
-    import orbax.checkpoint as ocp
-
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path), _state_payload(state))
+    wait_for_saves()  # a just-saved checkpoint may still be finalizing
+    ckptr = _get_checkpointer()
+    restored = ckptr.restore(os.path.abspath(path), _state_payload(state))
     return state.replace(
         step=restored["step"],
         params=restored["params"],
@@ -105,6 +145,7 @@ def resolve_checkpoint_arg(path: str) -> str | None:
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:
+    wait_for_saves()  # async saves rename into place only at finalization
     if not os.path.isdir(ckpt_dir):
         return None
     pat = re.compile(r"checkpoint_(\d{4})$")

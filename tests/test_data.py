@@ -269,6 +269,36 @@ class TestLoader:
             np.asarray(batches[0][0]), L.load_image(os.path.join(out, files[0]))
         )
 
+    def test_decode_error_propagates(self, prepared):
+        """A failing load_fn must raise in the consumer, not deadlock the
+        prefetch pipeline (the decode runs in a background thread)."""
+        out, df, _ = prepared
+        files = df["filename_img"].tolist()[:4]
+
+        def bad_load(rec):
+            raise OSError(f"corrupt: {rec}")
+
+        loader = L.TileBatchLoader(
+            out, files, batch_size=2, load_fn=bad_load, use_native=False, seed=0
+        )
+        with pytest.raises(OSError, match="corrupt"):
+            list(loader.epoch(0))
+
+    def test_abandoned_epoch_reaps_threads(self, prepared):
+        """Breaking out of an epoch early (the --steps-per-epoch pattern)
+        must close the background decode/transfer threads, not leak them."""
+        import threading
+
+        out, df, _ = prepared
+        files = df["filename_img"].tolist()[:10]
+        loader = L.TileBatchLoader(out, files, batch_size=2, seed=0, prefetch=1)
+        before = threading.active_count()
+        for i, _batch in enumerate(loader.epoch(0)):
+            if i == 0:
+                break  # abandon with batches still queued
+        # generator finalization joins both stages
+        assert threading.active_count() <= before
+
     def test_synthetic_library(self):
         imgs, masks, slides = L.synthetic_tile_library(
             n_slides=2, tiles_per_slide=3, tile_size=64

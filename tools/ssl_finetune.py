@@ -355,6 +355,7 @@ def main_worker(args):
             "======="
         )
 
+    C.wait_for_saves()  # best_ft_model saves run async; be durable before exit
     logger.info("=> Best scores:")
     logger.info(
         "=======\n"

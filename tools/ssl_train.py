@@ -321,6 +321,7 @@ def main_worker(args):
             f"======= TIME: {elapsed:.2f} mins, BEST LOSS: {loss:.4f}/{best_loss:.4f} ======="
         )
 
+    C.wait_for_saves()  # checkpoint saves run async; be durable before exit
     if tb_writer is not None:
         tb_writer.close()
     if wandb_run is not None:
