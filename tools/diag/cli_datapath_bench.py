@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--tile", type=int, default=1024)
     ap.add_argument("--data", type=str, default="", help="existing prepared dir (else synthesized)")
+    ap.add_argument(
+        "--d2h",
+        action="store_true",
+        help="include the D2H stage (pathological through the axon tunnel — a "
+        "single np.asarray takes minutes and degrades every measurement after "
+        "it, so it is opt-in and must run last/alone)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -123,22 +130,23 @@ def main():
             flush=True,
         )
 
-    # ---- stage: D2H (checkpoint fetch path) ------------------------------
-    t0 = time.perf_counter()
-    np.asarray(x)
-    t_d2h = time.perf_counter() - t0
-    print(f"d2h_sync:      {t_d2h:.3f} s/batch ({mb / t_d2h:.0f} MB/s)", flush=True)
-    # chunked D2H: fetch row-slices concurrently
-    for streams in (4, 8):
-        idx = np.array_split(np.arange(batch.shape[0]), streams)
-        parts = [x[i[0] : i[-1] + 1] for i in idx]
-        for p in parts:
-            p.block_until_ready()
-        with ThreadPoolExecutor(streams) as pool:
-            t0 = time.perf_counter()
-            list(pool.map(np.asarray, parts))
-            t_ms = time.perf_counter() - t0
-        print(f"d2h_sync_{streams}str: {t_ms:.3f} s/batch ({mb / t_ms:.0f} MB/s)", flush=True)
+    # ---- stage: D2H (checkpoint fetch path; opt-in, see --d2h help) ------
+    if args.d2h:
+        t0 = time.perf_counter()
+        np.asarray(x)
+        t_d2h = time.perf_counter() - t0
+        print(f"d2h_sync:      {t_d2h:.3f} s/batch ({mb / t_d2h:.0f} MB/s)", flush=True)
+        # chunked D2H: fetch row-slices concurrently
+        for streams in (4, 8):
+            idx = np.array_split(np.arange(batch.shape[0]), streams)
+            parts = [x[i[0] : i[-1] + 1] for i in idx]
+            for p in parts:
+                p.block_until_ready()
+            with ThreadPoolExecutor(streams) as pool:
+                t0 = time.perf_counter()
+                list(pool.map(np.asarray, parts))
+                t_ms = time.perf_counter() - t0
+            print(f"d2h_sync_{streams}str: {t_ms:.3f} s/batch ({mb / t_ms:.0f} MB/s)", flush=True)
 
     # ---- assembled loader, steady state ---------------------------------
     # Repeat the corpus so one epoch has enough batches for a steady state;
