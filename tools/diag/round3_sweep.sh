@@ -6,7 +6,10 @@ echo "=== r18 default headline (pipeline b32 adam) ==="
 timeout 3600 python bench.py
 echo "=== r18 pipeline b64 probe ==="
 BENCH_BATCH=64 timeout 3600 python bench.py
-echo "=== r50 canonical (fused_adafactor) ==="
+echo "=== r50 canonical (fused_adafactor, no remat — fits since the fused heads dropped the dense grad) ==="
+BENCH_ARCH=resnet50 BENCH_BATCH=16 \
+BENCH_INTER_DTYPE=bfloat16 BENCH_INTER_OPT=fused_adafactor timeout 3600 python bench.py
+echo "=== r50 remat-stages-1,2 variant (CLI safe default) ==="
 BENCH_ARCH=resnet50 BENCH_BATCH=16 BENCH_USE_AC=1 BENCH_REMAT_STAGES=1,2 \
 BENCH_INTER_DTYPE=bfloat16 BENCH_INTER_OPT=fused_adafactor timeout 3600 python bench.py
 echo "=== hooknet b32 packed (tail+logits+term-skip+mxu-resize) ==="
