@@ -412,6 +412,27 @@ class TestOrbaxRoundtrip:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_consecutive_async_saves_isolate_payloads(self, tmp_path):
+        """Two back-to-back non-blocking saves of *different* states must
+        each persist their own snapshot: save() device_get's the payload
+        before queuing, so a later param update (or buffer donation) cannot
+        leak into an in-flight earlier save."""
+        config = S.SSLConfig(arch="resnet18", scale=2, img_size=32, batch_size=8, amp=False)
+        state_a = S.create_ssl_state(jax.random.key(0), config)
+        state_b = state_a.replace(
+            params=jax.tree_util.tree_map(lambda x: x + 1.0, state_a.params),
+            step=state_a.step + 1,
+        )
+        p_a = C.save_train_state(str(tmp_path), state_a, epoch=1)
+        p_b = C.save_train_state(str(tmp_path), state_b, epoch=2)
+
+        r_a = C.restore_train_state(p_a, state_b)  # restore into the "wrong" state
+        r_b = C.restore_train_state(p_b, state_a)
+        leaf = lambda s: np.asarray(jax.tree_util.tree_leaves(s.params)[0])
+        np.testing.assert_array_equal(leaf(r_a), leaf(state_a))
+        np.testing.assert_array_equal(leaf(r_b), leaf(state_b))
+        assert int(r_a.step) == 0 and int(r_b.step) == 1
+
     def test_latest_checkpoint(self, tmp_path):
         config = S.SSLConfig(arch="resnet18", scale=2, img_size=32, batch_size=8, amp=False)
         state = S.create_ssl_state(jax.random.key(0), config)
