@@ -36,6 +36,7 @@ __all__ = [
     "make_ssl_views",
     "make_seg_train_views",
     "make_seg_val_views",
+    "make_seg_val_views_host",
 ]
 
 
@@ -196,6 +197,72 @@ def make_seg_train_views(key, imgs_u8, masks, cfg: AugConfig = AugConfig()):
     ctx = A.normalize(ctx, cfg.mean, cfg.std)
     tgt = A.normalize(tgt, cfg.mean, cfg.std)
     return (ctx, tgt), (ctx_mask.astype(jnp.int32), tgt_mask.astype(jnp.int32))
+
+
+def _resize_u8_host_np(img: "np.ndarray", out: int) -> "np.ndarray":
+    """Numpy fallback for the host uint8 bilinear resize: the same 2-tap
+    half-pixel sampling as :func:`ops.augment.resize_bilinear` (== cv2
+    INTER_LINEAR within the augment-oracle bounds), rounded back to uint8
+    the way cv2's uint8 path rounds."""
+    import numpy as np
+
+    def taps(src, dst):
+        x = (np.arange(dst) + 0.5) * src / dst - 0.5
+        lo = np.clip(np.floor(x).astype(np.int64), 0, src - 1)
+        hi = np.clip(lo + 1, 0, src - 1)
+        return lo, hi, (x - np.floor(x)).astype(np.float32)
+
+    H, W = img.shape[0], img.shape[1]
+    ylo, yhi, yf = taps(H, out)
+    xlo, xhi, xf = taps(W, out)
+    x = img.astype(np.float32)
+    rows = x[ylo] * (1.0 - yf)[:, None, None] + x[yhi] * yf[:, None, None]
+    cols = rows[:, xlo] * (1.0 - xf)[None, :, None] + rows[:, xhi] * xf[None, :, None]
+    return np.clip(np.round(cols), 0, 255).astype(np.uint8)
+
+
+def make_seg_val_views_host(imgs_u8, masks, cfg: AugConfig = AugConfig(), num_threads: int = 8):
+    """Host-side uint8 eval pre-views: cv2 ``Resize(256)`` on uint8 for the
+    context + CenterCrop slices for the target — the reference's literal
+    CPU pipeline (``/root/reference/tools/evaluate.py:151-178``: albu
+    Resize/CenterCrop run on uint8 via cv2, THEN Normalize). Normalization
+    stays on device (:func:`train.evaluate.make_chunk_stats_hostviews`).
+
+    Returns ``(ctx_u8 (T,s,s,3), tgt_u8 (T,s,s,3), tgt_mask (T,s,s) int32)``
+    numpy arrays.
+
+    Why host: through the axon tunnel H2D runs at ~50 MB/s regardless of
+    transfer size (``tools/diag/h2d_size_probe.py``), so shipping 256px
+    uint8 views instead of full 1024px tiles is ~10x fewer bytes and turns
+    an ~8 s/slide upload into <1 s. On a direct-attached host either path
+    is cheap — pick with ``--val-views``. cv2 releases the GIL, so the
+    per-tile resizes thread; without cv2 a numpy 2-tap fallback (same
+    sampling grid) is used.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    try:
+        import cv2
+
+        def resize_one(im):
+            return cv2.resize(im, (cfg.seg_size, cfg.seg_size), interpolation=cv2.INTER_LINEAR)
+
+    except ImportError:
+
+        def resize_one(im):
+            return _resize_u8_host_np(im, cfg.seg_size)
+
+    imgs_u8 = np.ascontiguousarray(imgs_u8)
+    masks = np.ascontiguousarray(masks)
+    with ThreadPoolExecutor(num_threads) as pool:
+        ctx = np.stack(list(pool.map(resize_one, imgs_u8)))
+    H, W = imgs_u8.shape[1], imgs_u8.shape[2]
+    y0, x0 = (H - cfg.seg_size) // 2, (W - cfg.seg_size) // 2
+    tgt = imgs_u8[:, y0 : y0 + cfg.seg_size, x0 : x0 + cfg.seg_size]
+    tmask = masks[:, y0 : y0 + cfg.seg_size, x0 : x0 + cfg.seg_size].astype(np.int32)
+    return ctx, tgt, tmask
 
 
 def make_seg_val_views(imgs_u8, masks, cfg: AugConfig = AugConfig()):

@@ -30,7 +30,11 @@ from ..ops.metrics import accuracy, f1_score, get_stats, iou_score
 __all__ = [
     "make_chunk_forward",
     "make_chunk_stats",
+    "make_chunk_stats_u8",
+    "make_chunk_stats_hostviews",
     "validate_slide",
+    "validate_slide_u8",
+    "validate_slide_hostviews",
     "validate",
     "SlideScores",
 ]
@@ -101,6 +105,177 @@ def make_chunk_stats(model, num_classes: int, chunk: int = 128, mesh=None):
         stats_impl,
         in_shardings=(repl, data, data, data, repl),
         out_shardings=repl,
+    )
+
+
+def make_chunk_stats_u8(model, num_classes: int, chunk: int = 128, cfg=None, mesh=None):
+    """Like :func:`make_chunk_stats`, but the input is one chunk of RAW
+    uint8 slide tiles ``(chunk, tile, tile, 3)`` + uint8 masks: the
+    deterministic eval views (Resize/CenterCrop + Normalize,
+    ``make_seg_val_views``) are built ON DEVICE inside the same jit as the
+    forward + stat accumulation.
+
+    This is the device-resident replacement for the CLI loop that built
+    views eagerly, pulled them to the host, and re-uploaded them per chunk
+    (reference does the same via CPU dataloaders + ``.cpu()`` fetches,
+    ``/root/reference/tools/evaluate.py:151-178,270-291``). Measured on the
+    axon v5e tunnel (``tools/diag/eval_datapath_bench.py``, 96-tile slide):
+    the old path spends ~58 s building views eagerly plus ~7 s of D2H/H2D
+    round trips at ~20 MB/s; uint8 chunk uploads ride the loader-style H2D
+    path at ~1.6 GB/s and everything else stays on device.
+
+    Padded tiles must be all-zero: a zero mask means every pixel has
+    ``target-1 == -1 == ignore_index``, so they contribute nothing.
+    """
+    from ..data.pipeline import AugConfig, make_seg_val_views
+
+    cfg = cfg or AugConfig()
+
+    def stats_impl(variables, imgs_u8, masks_u8, acc):
+        (ctx, tgt), (_, tmask) = make_seg_val_views(imgs_u8, masks_u8, cfg)
+        _, tgt_logits = model.apply(variables, ctx, tgt, train=False)
+        pred = jnp.argmax(tgt_logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        tp, fp, fn, tn = get_stats(
+            pred - 1, tmask - 1, num_classes=num_classes, ignore_index=-1
+        )
+        new = jnp.stack([tp.sum(0), fp.sum(0), fn.sum(0), tn.sum(0)])
+        return acc + new
+
+    if mesh is None:
+        return jax.jit(stats_impl)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        stats_impl,
+        in_shardings=(repl, data, data, repl),
+        out_shardings=repl,
+    )
+
+
+def make_chunk_stats_hostviews(model, num_classes: int, chunk: int = 128, cfg=None, mesh=None):
+    """Stats over one chunk of HOST-PREBUILT uint8 eval views
+    (:func:`data.pipeline.make_seg_val_views_host`): inputs are
+    ``(ctx_u8, tgt_u8, tmask)`` at ``seg_size`` — only ``/255`` +
+    Normalize happen on device, inside the same jit as the forward.
+
+    This is the reference's literal split of work (uint8 cv2 resize/crop on
+    CPU, normalize + forward on the accelerator) and the smallest-possible
+    H2D payload (~0.45 MB/tile vs 4.2 MB for raw 1024px tiles) — the
+    preferred path through the ~50 MB/s axon tunnel.
+    """
+    from ..data.pipeline import AugConfig, _to_float
+    from ..ops import augment as A
+
+    cfg = cfg or AugConfig()
+
+    def stats_impl(variables, ctx_u8, tgt_u8, tmask, acc):
+        ctx = A.normalize(_to_float(ctx_u8, cfg.dtype), cfg.mean, cfg.std)
+        tgt = A.normalize(_to_float(tgt_u8, cfg.dtype), cfg.mean, cfg.std)
+        _, tgt_logits = model.apply(variables, ctx, tgt, train=False)
+        pred = jnp.argmax(tgt_logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        tp, fp, fn, tn = get_stats(
+            pred - 1,
+            tmask.astype(jnp.int32) - 1,
+            num_classes=num_classes,
+            ignore_index=-1,
+        )
+        new = jnp.stack([tp.sum(0), fp.sum(0), fn.sum(0), tn.sum(0)])
+        return acc + new
+
+    if mesh is None:
+        return jax.jit(stats_impl)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        stats_impl,
+        in_shardings=(repl, data, data, data, repl),
+        out_shardings=repl,
+    )
+
+
+def _run_chunked_stats(
+    stats_fn: Callable,
+    variables,
+    arrays: tuple,
+    num_classes: int,
+    chunk: int,
+    sharding=None,
+):
+    """Shared chunk driver: pad each array to a chunk multiple, device_put
+    chunk i+1 on a background thread (double-buffered, the
+    ``TileBatchLoader`` H2D pattern) while chunk i's stats dispatch; the
+    accumulator stays on device and the single host fetch is the final
+    (4, C) sums."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    arrays = tuple(_pad_to_multiple(np.ascontiguousarray(a), chunk)[0] for a in arrays)
+    n = arrays[0].shape[0]
+
+    def put(lo):
+        hi = lo + chunk
+        if sharding is not None:
+            return tuple(jax.device_put(a[lo:hi], sharding) for a in arrays)
+        return tuple(jax.device_put(a[lo:hi]) for a in arrays)
+
+    acc = jnp.zeros((4, num_classes), jnp.int32)
+    with ThreadPoolExecutor(1) as pool:
+        fut = pool.submit(put, 0)
+        for i in range(0, n, chunk):
+            chunk_args = fut.result()
+            if i + chunk < n:
+                fut = pool.submit(put, i + chunk)
+            acc = stats_fn(variables, *chunk_args, acc)
+    sums = np.asarray(acc)  # (4, C) — the only device->host fetch
+    tp, fp, fn, tn = (jnp.asarray(s) for s in sums)
+    micro = {
+        "f1": float(f1_score(tp, fp, fn, tn, reduction="micro")),
+        "iou": float(iou_score(tp, fp, fn, tn, reduction="micro")),
+        "acc": float(accuracy(tp, fp, fn, tn, reduction="micro")),
+    }
+    return micro, tuple(sums)
+
+
+def validate_slide_u8(
+    stats_fn: Callable,
+    variables,
+    imgs_u8: np.ndarray,
+    masks_u8: np.ndarray,
+    num_classes: int,
+    chunk: int = 128,
+    sharding=None,
+):
+    """Evaluate one slide from raw uint8 tiles with a
+    :func:`make_chunk_stats_u8` function (views built on device).
+
+    ``sharding`` should be the chunk-axis ``NamedSharding(mesh, P("data"))``
+    when ``stats_fn`` was built with a mesh, so uploads land pre-sharded.
+    """
+    return _run_chunked_stats(
+        stats_fn, variables, (imgs_u8, masks_u8), num_classes, chunk, sharding
+    )
+
+
+def validate_slide_hostviews(
+    stats_fn: Callable,
+    variables,
+    ctx_u8: np.ndarray,
+    tgt_u8: np.ndarray,
+    tmask: np.ndarray,
+    num_classes: int,
+    chunk: int = 128,
+    sharding=None,
+):
+    """Evaluate one slide from host-prebuilt uint8 views
+    (:func:`data.pipeline.make_seg_val_views_host`) with a
+    :func:`make_chunk_stats_hostviews` function."""
+    return _run_chunked_stats(
+        stats_fn, variables, (ctx_u8, tgt_u8, tmask), num_classes, chunk, sharding
     )
 
 

@@ -283,6 +283,37 @@ class TestPipelines:
         new = A.apply_color_jitter(A.center_crop(x, 16), *params, means=means)
         np.testing.assert_array_equal(np.asarray(new), np.asarray(ref))
 
+    def test_host_val_views_match_cv2_and_slices(self):
+        """make_seg_val_views_host: context == per-tile cv2 uint8 resize
+        (the reference's literal albu.Resize), target/mask == exact center
+        slices of the source."""
+        cv2 = pytest.importorskip("cv2")
+        cfg = P.AugConfig(seg_size=32)
+        rng = np.random.default_rng(4)
+        imgs = rng.integers(0, 256, size=(3, 64, 64, 3), dtype=np.uint8)
+        masks = rng.integers(0, 6, size=(3, 64, 64), dtype=np.uint8)
+        ctx, tgt, tmask = P.make_seg_val_views_host(imgs, masks, cfg)
+        assert ctx.dtype == np.uint8 and tgt.dtype == np.uint8
+        for b in range(3):
+            ref = cv2.resize(imgs[b], (32, 32), interpolation=cv2.INTER_LINEAR)
+            np.testing.assert_array_equal(ctx[b], ref)
+        np.testing.assert_array_equal(tgt, imgs[:, 16:48, 16:48])
+        np.testing.assert_array_equal(tmask, masks[:, 16:48, 16:48].astype(np.int32))
+
+    def test_host_resize_numpy_fallback_close_to_cv2(self):
+        """The no-cv2 numpy fallback resize samples the same half-pixel
+        grid; uint8 outputs may differ from cv2's fixed-point rounding by
+        at most one gray level."""
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(97, 103, 3), dtype=np.uint8)
+        ours = P._resize_u8_host_np(img, 32)
+        ref = cv2.resize(img, (32, 32), interpolation=cv2.INTER_LINEAR)
+        diff = np.abs(ours.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1
+        # cv2's uint8 path rounds in 11-bit fixed point; ±1 on ~13% of pixels
+        assert (diff == 0).mean() > 0.8
+
     def test_seg_val_views_deterministic(self):
         cfg = P.AugConfig(seg_size=32)
         rng = np.random.default_rng(3)

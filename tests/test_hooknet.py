@@ -168,6 +168,68 @@ class TestValidate:
         for v in out.values():
             assert 0.0 <= v <= 1.0
 
+    def test_u8_device_resident_path_matches_eager(self, hooknet_state):
+        """validate_slide_u8 (raw uint8 tiles in, views built inside the
+        chunk jit) must score identically to the eager make_seg_val_views +
+        validate_slide path it replaces."""
+        from msfwsi_tpu.data.pipeline import AugConfig, make_seg_val_views
+
+        config, state = hooknet_state
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        r = np.random.default_rng(7)
+        T = 5  # not a multiple of chunk: exercises the zero-pad tiles
+        imgs = r.integers(0, 256, size=(T, 4 * SEG, 4 * SEG, 3), dtype=np.uint8)
+        masks = r.integers(0, config.num_classes, size=(T, 4 * SEG, 4 * SEG)).astype(np.uint8)
+        cfg = AugConfig(seg_size=SEG)
+
+        (ctx, tgt), (_, tmask) = make_seg_val_views(imgs, masks, cfg)
+        f_old = EV.make_chunk_stats(state.model, 3, chunk=4)
+        micro_a, sums_a = EV.validate_slide(
+            f_old, variables, np.asarray(ctx), np.asarray(tgt), np.asarray(tmask),
+            num_classes=3, chunk=4,
+        )
+
+        f_u8 = EV.make_chunk_stats_u8(state.model, 3, chunk=4, cfg=cfg)
+        micro_b, sums_b = EV.validate_slide_u8(
+            f_u8, variables, imgs, masks, num_classes=3, chunk=4
+        )
+        for k in micro_a:
+            assert micro_a[k] == pytest.approx(micro_b[k], abs=1e-6)
+        for x, y in zip(sums_a, sums_b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_hostviews_stats_match_manual_normalize(self, hooknet_state):
+        """make_chunk_stats_hostviews on uint8 pre-views must equal
+        normalizing the same views manually and running make_chunk_stats —
+        the on-device work is identical, only the H2D payload differs."""
+        from msfwsi_tpu.data.pipeline import AugConfig
+        from msfwsi_tpu.ops import augment as A
+
+        config, state = hooknet_state
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        r = np.random.default_rng(11)
+        T = 5
+        ctx_u8 = r.integers(0, 256, size=(T, SEG, SEG, 3), dtype=np.uint8)
+        tgt_u8 = r.integers(0, 256, size=(T, SEG, SEG, 3), dtype=np.uint8)
+        tmask = r.integers(0, config.num_classes, size=(T, SEG, SEG)).astype(np.int32)
+        cfg = AugConfig(seg_size=SEG)
+
+        f_host = EV.make_chunk_stats_hostviews(state.model, 3, chunk=4, cfg=cfg)
+        micro_a, sums_a = EV.validate_slide_hostviews(
+            f_host, variables, ctx_u8, tgt_u8, tmask, num_classes=3, chunk=4
+        )
+
+        ctx = np.asarray(A.normalize(jnp.asarray(ctx_u8, jnp.float32) / 255.0, cfg.mean, cfg.std))
+        tgt = np.asarray(A.normalize(jnp.asarray(tgt_u8, jnp.float32) / 255.0, cfg.mean, cfg.std))
+        f_old = EV.make_chunk_stats(state.model, 3, chunk=4)
+        micro_b, sums_b = EV.validate_slide(
+            f_old, variables, ctx, tgt, tmask, num_classes=3, chunk=4
+        )
+        for k in micro_a:
+            assert micro_a[k] == pytest.approx(micro_b[k], abs=1e-6)
+        for x, y in zip(sums_a, sums_b):
+            np.testing.assert_array_equal(x, y)
+
     def test_padding_does_not_change_scores(self, hooknet_state):
         """Chunk padding must be score-neutral: same slide, chunk sizes that
         do / don't require padding must give identical numbers."""

@@ -119,3 +119,39 @@ class TestShardedValidation:
             assert micro_1[k] == pytest.approx(micro_8[k], abs=1e-6)
         for a, b in zip(sums_1, sums_8):
             np.testing.assert_array_equal(a, b)
+
+    def test_sharded_u8_path_matches_single(self):
+        """The device-resident uint8 validation path under the 8-device mesh
+        (pre-sharded chunk uploads) must match the single-device u8 path."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from msfwsi_tpu.data.pipeline import AugConfig
+
+        config = FT.FinetuneConfig(
+            arch="resnet18", class_names=("a", "b", "c"), amp=False, seg_size=64
+        )
+        state = FT.create_finetune_state(jax.random.key(1), config, local_batch=2)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        cfg = AugConfig(seg_size=64)
+
+        rng = np.random.default_rng(5)
+        T = 11
+        imgs = rng.integers(0, 256, size=(T, 256, 256, 3), dtype=np.uint8)
+        masks = rng.integers(0, config.num_classes, size=(T, 256, 256)).astype(np.uint8)
+
+        f_single = EV.make_chunk_stats_u8(state.model, 3, chunk=8, cfg=cfg)
+        micro_1, sums_1 = EV.validate_slide_u8(
+            f_single, variables, imgs, masks, num_classes=3, chunk=8
+        )
+
+        mesh = make_mesh(MeshSpec(data=8), devices=jax.devices()[:8])
+        f_sharded = EV.make_chunk_stats_u8(state.model, 3, chunk=8, cfg=cfg, mesh=mesh)
+        micro_8, sums_8 = EV.validate_slide_u8(
+            f_sharded, variables, imgs, masks, num_classes=3, chunk=8,
+            sharding=NamedSharding(mesh, P("data")),
+        )
+
+        for k in micro_1:
+            assert micro_1[k] == pytest.approx(micro_8[k], abs=1e-6)
+        for a, b in zip(sums_1, sums_8):
+            np.testing.assert_array_equal(a, b)

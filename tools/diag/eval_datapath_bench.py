@@ -11,6 +11,7 @@ This times each leg for a realistic slide (T tiles of 1024px) so the
 device-resident restructure is driven by measurement.
 
 Usage: python tools/diag/eval_datapath_bench.py [--tiles 96] [--chunk 128]
+       python tools/diag/eval_datapath_bench.py --e2e   # old vs u8 validate_slide
 """
 
 import argparse
@@ -21,11 +22,71 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
+def e2e(args):
+    """Time per-slide validation: eager-views + validate_slide (old CLI path)
+    vs make_chunk_stats_u8 + validate_slide_u8 (device-resident)."""
+    import numpy as np
+
+    import jax
+
+    from msfwsi_tpu.data.pipeline import AugConfig, make_seg_val_views
+    from msfwsi_tpu.train import evaluate as EV
+    from msfwsi_tpu.train import finetune as FT
+
+    config = FT.FinetuneConfig(arch="resnet18", class_names=("a", "b", "c", "d", "e"))
+    state = FT.create_finetune_state(jax.random.key(0), config, local_batch=2)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    T = args.tiles
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (T, 1024, 1024, 3), np.uint8)
+    masks = rng.integers(0, 6, (T, 1024, 1024), np.uint8)
+    cfg = AugConfig()
+
+    f_u8 = EV.make_chunk_stats_u8(state.model, 5, chunk=args.chunk, cfg=cfg)
+    f_host = EV.make_chunk_stats_hostviews(state.model, 5, chunk=args.chunk, cfg=cfg)
+    f_old = EV.make_chunk_stats(state.model, 5, chunk=args.chunk)
+
+    def run_new():
+        return EV.validate_slide_u8(
+            f_u8, variables, imgs, masks, num_classes=5, chunk=args.chunk
+        )
+
+    def run_host():
+        from msfwsi_tpu.data.pipeline import make_seg_val_views_host
+
+        ctx_u8, tgt_u8, tmask = make_seg_val_views_host(imgs, masks, cfg)
+        return EV.validate_slide_hostviews(
+            f_host, variables, ctx_u8, tgt_u8, tmask, num_classes=5, chunk=args.chunk
+        )
+
+    def run_old():
+        (ctx, tgt), (_, tmask) = make_seg_val_views(imgs, masks, cfg)
+        return EV.validate_slide(
+            f_old, variables, np.asarray(ctx), np.asarray(tgt), np.asarray(tmask),
+            num_classes=5, chunk=args.chunk,
+        )
+
+    for name, fn in [
+        ("hostviews_u8", run_host),
+        ("u8_device_resident", run_new),
+        ("old_eager_roundtrip", run_old),
+    ]:
+        m, _ = fn()  # warm/compile
+        t0 = time.perf_counter()
+        m, _ = fn()
+        dt = time.perf_counter() - t0
+        print(f"{name}: {dt:.3f} s/slide ({T / dt:.0f} tiles/s) f1={m['f1']:.4f}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiles", type=int, default=96)
     ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--e2e", action="store_true")
     args = ap.parse_args()
+    if args.e2e:
+        return e2e(args)
 
     import numpy as np
 

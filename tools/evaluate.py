@@ -30,7 +30,7 @@ def main_worker(args):
 
     from msfwsi_tpu.data import datasets as D
     from msfwsi_tpu.data import loader as L
-    from msfwsi_tpu.data.pipeline import AugConfig, make_seg_val_views
+    from msfwsi_tpu.data.pipeline import AugConfig
     from msfwsi_tpu.train import checkpoint as C
     from msfwsi_tpu.train import evaluate as EV
     from msfwsi_tpu.train import finetune as FT
@@ -102,22 +102,44 @@ def main_worker(args):
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     mesh = None
+    chunk_sharding = None
     if jax.device_count() > 1 and args.val_chunk % jax.device_count() == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from msfwsi_tpu.parallel import MeshSpec, make_mesh
 
         mesh = make_mesh(MeshSpec())
+        chunk_sharding = NamedSharding(mesh, P("data"))
         logger.info(f"=> sharding validation chunks over {jax.device_count()} devices")
-    chunk_forward = EV.make_chunk_stats(
-        state.model, len(class_names), chunk=args.val_chunk, mesh=mesh
-    )
+    # No host round trips either way: "host" pre-builds uint8 views on CPU
+    # (the reference's literal cv2 pipeline; ~10x fewer H2D bytes — the
+    # right choice through the ~50 MB/s axon tunnel), "device" ships raw
+    # tiles and builds views inside the chunk jit (direct-attached hosts).
+    if args.val_views == "host":
+        from msfwsi_tpu.data.pipeline import make_seg_val_views_host
+
+        chunk_stats = EV.make_chunk_stats_hostviews(
+            state.model, len(class_names), chunk=args.val_chunk, cfg=aug_cfg, mesh=mesh
+        )
+    else:
+        chunk_stats = EV.make_chunk_stats_u8(
+            state.model, len(class_names), chunk=args.val_chunk, cfg=aug_cfg, mesh=mesh
+        )
     scores = EV.SlideScores(class_names)
     for i, (imgs_s, masks_s) in enumerate(iter_slides()):
-        (ctx, tgt), (_, tmask) = make_seg_val_views(imgs_s, masks_s, aug_cfg)
-        micro, sums = EV.validate_slide(
-            chunk_forward, variables,
-            np.asarray(ctx), np.asarray(tgt), np.asarray(tmask),
-            num_classes=len(class_names), chunk=args.val_chunk,
-        )
+        if args.val_views == "host":
+            ctx_u8, tgt_u8, tmask = make_seg_val_views_host(imgs_s, masks_s, aug_cfg)
+            micro, sums = EV.validate_slide_hostviews(
+                chunk_stats, variables, ctx_u8, tgt_u8, tmask,
+                num_classes=len(class_names), chunk=args.val_chunk,
+                sharding=chunk_sharding,
+            )
+        else:
+            micro, sums = EV.validate_slide_u8(
+                chunk_stats, variables, imgs_s, masks_s,
+                num_classes=len(class_names), chunk=args.val_chunk,
+                sharding=chunk_sharding,
+            )
         scores.update(micro, sums)
         if i % args.print_freq == 0:
             logger.info(f"Val slide [{i}] f1={micro['f1']:.4f}")
@@ -181,6 +203,12 @@ def build_parser():
                              "either way")
     parser.add_argument("--val-chunk", type=int, default=128,
                         help="tiles per device pass during validation (reference: 128)")
+    parser.add_argument("--val-views", choices=("host", "device"), default="host",
+                        help="where eval views are built: 'host' = uint8 cv2 "
+                             "resize/crop on CPU, normalize on device (the "
+                             "reference's literal split; ~10x fewer H2D bytes), "
+                             "'device' = ship raw tiles, build views in the "
+                             "chunk jit (direct-attached hosts)")
     parser.add_argument("--seg-size", type=int, default=256,
                         help="context/target view size (reference: 256)")
     return parser

@@ -55,7 +55,7 @@ def main_worker(args):
 
     from msfwsi_tpu.data import datasets as D
     from msfwsi_tpu.data import loader as L
-    from msfwsi_tpu.data.pipeline import AugConfig, make_seg_val_views
+    from msfwsi_tpu.data.pipeline import AugConfig
     from msfwsi_tpu.parallel import MeshSpec, batch_sharding, make_mesh
     from msfwsi_tpu.train import checkpoint as C
     from msfwsi_tpu.train import evaluate as EV
@@ -217,25 +217,39 @@ def main_worker(args):
         if config.packed_tail
         else state.model
     )
-    chunk_forward = EV.make_chunk_stats(
-        val_model, len(class_names), chunk=args.val_chunk, mesh=val_mesh
-    )
+    # No host round trips: "host" pre-builds uint8 views on CPU (reference's
+    # literal cv2 pipeline, ~10x fewer H2D bytes — right through the
+    # ~50 MB/s axon tunnel), "device" builds views inside the chunk jit.
+    if args.val_views == "host":
+        from msfwsi_tpu.data.pipeline import make_seg_val_views_host
+
+        chunk_stats = EV.make_chunk_stats_hostviews(
+            val_model, len(class_names), chunk=args.val_chunk, cfg=aug_cfg, mesh=val_mesh
+        )
+    else:
+        chunk_stats = EV.make_chunk_stats_u8(
+            val_model, len(class_names), chunk=args.val_chunk, cfg=aug_cfg, mesh=val_mesh
+        )
+    val_sharding = batch_sharding(val_mesh) if val_mesh is not None else None
     base_key = jax.random.key(config.seed)
 
     def run_validation(state):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         scores = EV.SlideScores(class_names)
         for imgs_s, masks_s in iter_val_slides():
-            (ctx, tgt), (_, tmask) = make_seg_val_views(imgs_s, masks_s, aug_cfg)
-            micro, sums = EV.validate_slide(
-                chunk_forward,
-                variables,
-                np.asarray(ctx),
-                np.asarray(tgt),
-                np.asarray(tmask),
-                num_classes=len(class_names),
-                chunk=args.val_chunk,
-            )
+            if args.val_views == "host":
+                ctx_u8, tgt_u8, tmask = make_seg_val_views_host(imgs_s, masks_s, aug_cfg)
+                micro, sums = EV.validate_slide_hostviews(
+                    chunk_stats, variables, ctx_u8, tgt_u8, tmask,
+                    num_classes=len(class_names), chunk=args.val_chunk,
+                    sharding=val_sharding,
+                )
+            else:
+                micro, sums = EV.validate_slide_u8(
+                    chunk_stats, variables, imgs_s, masks_s,
+                    num_classes=len(class_names), chunk=args.val_chunk,
+                    sharding=val_sharding,
+                )
             scores.update(micro, sums)
         return scores.summary()
 
@@ -424,6 +438,12 @@ def build_parser():
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--val-chunk", type=int, default=128,
                         help="tiles per device pass during validation (reference: 128)")
+    parser.add_argument("--val-views", choices=("host", "device"), default="host",
+                        help="where eval views are built: 'host' = uint8 cv2 "
+                             "resize/crop on CPU, normalize on device (the "
+                             "reference's literal split; ~10x fewer H2D bytes), "
+                             "'device' = ship raw tiles, build views in the "
+                             "chunk jit (direct-attached hosts)")
     parser.add_argument("--steps-per-epoch", type=int, default=0)
     parser.add_argument("--seg-size", type=int, default=256,
                         help="context/target view size (reference: 256)")
