@@ -74,8 +74,8 @@ class TestToolSmoke:
             "ssl_finetune.py",
             "--synthetic", "2",
             "-b", "4",
-            "--epochs", "1",
-            "--steps-per-epoch", "2",
+            "--epochs", "2",
+            "--steps-per-epoch", "1",
             "--val-chunk", "4",
             "--seg-size", "64",
             "-p", "1",
@@ -83,7 +83,10 @@ class TestToolSmoke:
             "--data-name", "bcss",
             "--log-dir", str(tmp_path / "ft"),
         )
-        assert "MICRO F1" in out
+        # Two epochs: the second validation pass must score from the cached
+        # host views (two per-epoch score blocks + the final best block).
+        assert out.count("MICRO F1") >= 3
+        assert "cached val views" in out
         assert "Best model saved" in out
         ckpt = tmp_path / "ft" / "best_ft_model"
         assert ckpt.exists()

@@ -233,24 +233,48 @@ def main_worker(args):
     val_sharding = batch_sharding(val_mesh) if val_mesh is not None else None
     base_key = jax.random.key(config.seed)
 
+    # Eval views are deterministic, so in host mode the 256px uint8 views
+    # are cached in host RAM after the first pass — per-epoch validation
+    # skips the PNG decode + resize of every val slide from then on
+    # (~10x smaller than the decoded 1024px tiles; the reference's
+    # DataLoader re-decodes every epoch). --no-val-cache restores that.
+    val_view_cache: list = []
+
+    def host_view_slides():
+        if val_view_cache:
+            yield from val_view_cache
+            return
+        for imgs_s, masks_s in iter_val_slides():
+            views = make_seg_val_views_host(imgs_s, masks_s, aug_cfg)
+            if not args.no_val_cache:
+                val_view_cache.append(views)
+            yield views
+        if val_view_cache:
+            mb = sum(sum(a.nbytes for a in v) for v in val_view_cache) / 1e6
+            logger.info(
+                f"=> cached val views for {len(val_view_cache)} slides "
+                f"({mb:.0f} MB host RAM); --no-val-cache to re-decode per epoch"
+            )
+
     def run_validation(state):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         scores = EV.SlideScores(class_names)
-        for imgs_s, masks_s in iter_val_slides():
-            if args.val_views == "host":
-                ctx_u8, tgt_u8, tmask = make_seg_val_views_host(imgs_s, masks_s, aug_cfg)
+        if args.val_views == "host":
+            for ctx_u8, tgt_u8, tmask in host_view_slides():
                 micro, sums = EV.validate_slide_hostviews(
                     chunk_stats, variables, ctx_u8, tgt_u8, tmask,
                     num_classes=len(class_names), chunk=args.val_chunk,
                     sharding=val_sharding,
                 )
-            else:
+                scores.update(micro, sums)
+        else:
+            for imgs_s, masks_s in iter_val_slides():
                 micro, sums = EV.validate_slide_u8(
                     chunk_stats, variables, imgs_s, masks_s,
                     num_classes=len(class_names), chunk=args.val_chunk,
                     sharding=val_sharding,
                 )
-            scores.update(micro, sums)
+                scores.update(micro, sums)
         return scores.summary()
 
     micro_f1 = BestRecorder("max")
@@ -444,6 +468,11 @@ def build_parser():
                              "reference's literal split; ~10x fewer H2D bytes), "
                              "'device' = ship raw tiles, build views in the "
                              "chunk jit (direct-attached hosts)")
+    parser.add_argument("--no-val-cache", action="store_true",
+                        help="re-decode validation slides every epoch (the "
+                             "reference DataLoader's behavior); by default the "
+                             "deterministic 256px uint8 val views are cached in "
+                             "host RAM after the first validation pass")
     parser.add_argument("--steps-per-epoch", type=int, default=0)
     parser.add_argument("--seg-size", type=int, default=256,
                         help="context/target view size (reference: 256)")
