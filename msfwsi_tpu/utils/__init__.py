@@ -6,4 +6,5 @@ from .misc import (  # noqa: F401
     cal_mean_and_std,
     dump_config,
     increment_path,
+    prefetch_iter,
 )

@@ -16,7 +16,57 @@ __all__ = [
     "ProgressMeter",
     "BestRecorder",
     "cal_mean_and_std",
+    "prefetch_iter",
 ]
+
+
+def prefetch_iter(iterable, depth: int = 1):
+    """Run ``iterable`` on a background thread, keeping up to ``depth``
+    items ready ahead of the consumer.
+
+    Used to overlap host-side slide work (PNG decode + cv2 view build,
+    which release the GIL) with device compute in the validation loops.
+    Preserves order; exceptions from the producer re-raise at the
+    consumer's next ``next()``; the producer thread is a daemon and stops
+    early if the consumer abandons the iterator.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    done = object()
+    stop = threading.Event()
+
+    def put(msg) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(msg, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def produce():
+        try:
+            for item in iterable:
+                if not put((False, item)):
+                    return
+            put((True, done))
+        except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+            put((True, e))
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            is_last, item = q.get()
+            if is_last:
+                if item is done:
+                    return
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def cal_mean_and_std(image_iter, max_value: float = 255.0):

@@ -306,3 +306,41 @@ class TestLoader:
         assert imgs.shape == (6, 64, 64, 3) and masks.shape == (6, 64, 64)
         assert imgs.dtype == np.uint8
         assert masks.max() <= 5
+
+
+class TestPrefetchIter:
+    """utils.prefetch_iter — the slide-level overlap used by the val loops."""
+
+    def test_order_and_completion(self):
+        from msfwsi_tpu.utils import prefetch_iter
+
+        assert list(prefetch_iter(iter(range(257)), depth=3)) == list(range(257))
+
+    def test_producer_exception_reraises(self):
+        from msfwsi_tpu.utils import prefetch_iter
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = prefetch_iter(gen())
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            next(it)
+
+    def test_abandon_stops_producer(self):
+        import threading
+        import time
+
+        from msfwsi_tpu.utils import prefetch_iter
+
+        before = threading.active_count()
+        it = prefetch_iter(iter(range(10**9)), depth=2)
+        assert next(it) == 0
+        it.close()
+        # producer polls with 0.1 s timeout; give it a moment to exit
+        for _ in range(50):
+            if threading.active_count() <= before:
+                break
+            time.sleep(0.05)
+        assert threading.active_count() <= before

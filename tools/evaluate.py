@@ -126,23 +126,35 @@ def main_worker(args):
             state.model, len(class_names), chunk=args.val_chunk, cfg=aug_cfg, mesh=mesh
         )
     scores = EV.SlideScores(class_names)
-    for i, (imgs_s, masks_s) in enumerate(iter_slides()):
-        if args.val_views == "host":
-            ctx_u8, tgt_u8, tmask = make_seg_val_views_host(imgs_s, masks_s, aug_cfg)
+    # Slide i+1's decode + host view build overlap slide i's device pass
+    # (cv2/PNG work releases the GIL).
+    from msfwsi_tpu.utils import prefetch_iter
+
+    if args.val_views == "host":
+
+        def slide_views():
+            for imgs_s, masks_s in iter_slides():
+                yield make_seg_val_views_host(imgs_s, masks_s, aug_cfg)
+
+        for i, (ctx_u8, tgt_u8, tmask) in enumerate(prefetch_iter(slide_views())):
             micro, sums = EV.validate_slide_hostviews(
                 chunk_stats, variables, ctx_u8, tgt_u8, tmask,
                 num_classes=len(class_names), chunk=args.val_chunk,
                 sharding=chunk_sharding,
             )
-        else:
+            scores.update(micro, sums)
+            if i % args.print_freq == 0:
+                logger.info(f"Val slide [{i}] f1={micro['f1']:.4f}")
+    else:
+        for i, (imgs_s, masks_s) in enumerate(prefetch_iter(iter_slides())):
             micro, sums = EV.validate_slide_u8(
                 chunk_stats, variables, imgs_s, masks_s,
                 num_classes=len(class_names), chunk=args.val_chunk,
                 sharding=chunk_sharding,
             )
-        scores.update(micro, sums)
-        if i % args.print_freq == 0:
-            logger.info(f"Val slide [{i}] f1={micro['f1']:.4f}")
+            scores.update(micro, sums)
+            if i % args.print_freq == 0:
+                logger.info(f"Val slide [{i}] f1={micro['f1']:.4f}")
 
     s = scores.summary()
     logger.info("=> Best scores:")

@@ -60,7 +60,13 @@ def main_worker(args):
     from msfwsi_tpu.train import checkpoint as C
     from msfwsi_tpu.train import evaluate as EV
     from msfwsi_tpu.train import finetune as FT
-    from msfwsi_tpu.utils import AverageMeter, BestRecorder, ProgressMeter, setup_logger
+    from msfwsi_tpu.utils import (
+        AverageMeter,
+        BestRecorder,
+        ProgressMeter,
+        prefetch_iter,
+        setup_logger,
+    )
     from msfwsi_tpu.ops import metrics as M
 
     logger = setup_logger(args.log_dir, name="MSF-WSI")
@@ -260,7 +266,8 @@ def main_worker(args):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         scores = EV.SlideScores(class_names)
         if args.val_views == "host":
-            for ctx_u8, tgt_u8, tmask in host_view_slides():
+            # Slide i+1's decode + view build overlap slide i's device pass.
+            for ctx_u8, tgt_u8, tmask in prefetch_iter(host_view_slides()):
                 micro, sums = EV.validate_slide_hostviews(
                     chunk_stats, variables, ctx_u8, tgt_u8, tmask,
                     num_classes=len(class_names), chunk=args.val_chunk,
@@ -268,7 +275,7 @@ def main_worker(args):
                 )
                 scores.update(micro, sums)
         else:
-            for imgs_s, masks_s in iter_val_slides():
+            for imgs_s, masks_s in prefetch_iter(iter_val_slides()):
                 micro, sums = EV.validate_slide_u8(
                     chunk_stats, variables, imgs_s, masks_s,
                     num_classes=len(class_names), chunk=args.val_chunk,
