@@ -18,11 +18,14 @@ axon tunnel and block_until_ready alone under-synchronizes).
 Env knobs: BENCH_ARCH, BENCH_BATCH, BENCH_ITERS, BENCH_WARMUP,
 BENCH_USE_AC=1 (remat), BENCH_INTER_OPT=adam|adafactor (factored fuser-head
 optimizer state — required to fit resnet50's ~1.6B-param heads on one v5e),
-BENCH_MODE=pipeline|step|hooknet|infer
+BENCH_MODE=pipeline|step|hooknet|infer|eval_e2e
   pipeline: default headline (aug + SSL train step, tiles/sec/chip)
   step:     SSL train step only on pre-built views
   hooknet:  HookNet finetune step (aug + Dice fwd/bwd/Adam), 256px pairs/sec
-  infer:    HookNet chunked slide inference (eval path), 256px tiles/sec.
+  infer:    HookNet chunked slide inference (eval path), 256px tiles/sec
+  eval_e2e: full per-slide validation CLI datapath (host uint8 views,
+            slide prefetch, double-buffered uploads), 1024px source
+            tiles/sec — BENCH_BATCH = tiles per slide.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N}
@@ -54,6 +57,8 @@ def main():
 
     if mode in ("hooknet", "infer"):
         return hooknet_bench(mode, arch, batch, iters, warmup, rng)
+    if mode == "eval_e2e":
+        return eval_e2e_bench(arch, batch, iters, warmup, rng)
 
     config = S.SSLConfig(
         arch=arch,
@@ -127,6 +132,68 @@ def main():
                 "value": round(tiles_per_sec_chip, 2),
                 "unit": "tiles/sec/chip",
                 "vs_baseline": round(tiles_per_sec_chip / BASELINE_TILES_PER_SEC, 4),
+            }
+        )
+    )
+
+
+def eval_e2e_bench(arch, tiles_per_slide, iters, warmup, rng):
+    """Per-slide validation datapath end to end: host uint8 view build
+    (cv2, threaded) -> double-buffered chunk uploads -> jitted forward +
+    on-device stat accumulation, with slide-level prefetch — the
+    `--val-views host` CLI loop on synthetic slides."""
+    import jax
+    import numpy as np
+
+    from msfwsi_tpu.data.pipeline import AugConfig, make_seg_val_views_host
+    from msfwsi_tpu.train import evaluate as EV
+    from msfwsi_tpu.train import finetune as FT
+    from msfwsi_tpu.utils import prefetch_iter
+
+    config = FT.FinetuneConfig(arch=arch, class_names=("a", "b", "c", "d", "e"))
+    state = FT.create_finetune_state(jax.random.key(0), config, local_batch=2)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    cfg = AugConfig()
+    C = len(config.class_names)
+    stats_fn = EV.make_chunk_stats_hostviews(state.model, C, chunk=128, cfg=cfg)
+
+    # Textured synthetic tissue tiles (not pure random): the axon tunnel
+    # compresses transfers, and real H&E tiles compress — pure noise would
+    # understate the deployed rate (CLAUDE.md "content-dependent" note).
+    from msfwsi_tpu.data.loader import synthetic_tile_library
+
+    T = tiles_per_slide
+    imgs_all, masks_all, slide_ids = synthetic_tile_library(
+        n_slides=2, tiles_per_slide=T, tile_size=1024, num_classes=C, seed=0
+    )
+    slides = [
+        (imgs_all[slide_ids == s], masks_all[slide_ids == s])
+        for s in np.unique(slide_ids)
+    ]
+
+    def run_pass(n_slides):
+        def views():
+            for i in range(n_slides):
+                imgs, masks = slides[i % len(slides)]
+                yield make_seg_val_views_host(imgs, masks, cfg)
+
+        for ctx_u8, tgt_u8, tmask in prefetch_iter(views()):
+            EV.validate_slide_hostviews(
+                stats_fn, variables, ctx_u8, tgt_u8, tmask, num_classes=C, chunk=128
+            )
+
+    run_pass(warmup)  # compile + warm the transfer path
+    t0 = time.perf_counter()
+    run_pass(iters)
+    dt = time.perf_counter() - t0
+    value = T * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"eval_cli_e2e_source_tiles_per_sec[{arch},{T}t/slide,hostviews]",
+                "value": round(value, 2),
+                "unit": "tiles/sec/chip",
+                "vs_baseline": round(value / BASELINE_TILES_PER_SEC, 4),
             }
         )
     )
