@@ -32,7 +32,7 @@ from flax import linen as nn
 
 from .resnet import get_encoder, torch_linear_init
 
-__all__ = ["Projector", "Predictor", "MSFWSI", "SSLViews"]
+__all__ = ["Projector", "Predictor", "MSFWSI"]
 
 
 class Projector(nn.Module):
@@ -131,10 +131,6 @@ class Predictor(nn.Module):
         if taps is not None:
             x = x + taps["fc2"]
         return x
-
-
-class SSLViews(tuple):
-    """(context_images, target_images) convenience alias."""
 
 
 class MSFWSI(nn.Module):
