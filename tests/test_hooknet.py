@@ -248,3 +248,31 @@ class TestValidate:
             assert micro_a[k] == pytest.approx(micro_b[k], abs=1e-6)
         for x, y in zip(sums_a, sums_b):
             np.testing.assert_array_equal(x, y)
+
+
+class TestServingExport:
+    def test_stablehlo_round_trip(self, hooknet_state, tmp_path):
+        """export_hooknet_serving -> load_serving_artifact must reproduce the
+        eval-mode argmax predictions exactly (weights baked into the
+        artifact; signature matches the per-slide chunk loop,
+        /root/reference/tools/evaluate.py:270-284)."""
+        from msfwsi_tpu.train import serving
+
+        config, state = hooknet_state
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        path = serving.export_hooknet_serving(
+            state.model, variables, str(tmp_path / "hooknet.stablehlo"),
+            chunk=2, size=SEG,
+        )
+
+        r = np.random.default_rng(11)
+        ctx = jnp.asarray(r.normal(size=(2, SEG, SEG, 3)), jnp.float32)
+        tgt = jnp.asarray(r.normal(size=(2, SEG, SEG, 3)), jnp.float32)
+
+        infer = serving.load_serving_artifact(path)
+        pred = np.asarray(infer(ctx, tgt))
+
+        _, tgt_logits = state.model.apply(variables, ctx, tgt, train=False)
+        want = np.argmax(np.asarray(tgt_logits, dtype=np.float32), axis=-1)
+        assert pred.dtype == np.int32
+        np.testing.assert_array_equal(pred, want)
