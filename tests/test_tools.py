@@ -493,3 +493,59 @@ class TestDatasetCLIPaths:
             "--log-dir", str(tmp_path / "ev"),
         )
         assert "MICRO F1" in out
+
+
+@pytest.mark.slow
+class TestExportTools:
+    def test_export_torch_then_serving_round_trip(self, tmp_path):
+        """Chain the export CLIs end to end: Orbax HookNet checkpoint ->
+        tools/export_torch.py (reference-format .pth.tar, the file the
+        reference's evaluate.py would load) -> tools/export_serving.py
+        consuming that .pth.tar -> StableHLO artifact whose predictions
+        equal the original in-process model's."""
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from msfwsi_tpu.train import checkpoint as C
+        from msfwsi_tpu.train import finetune as FT
+        from msfwsi_tpu.train import serving
+
+        SEG = 64
+        config = FT.FinetuneConfig(
+            arch="resnet18", class_names=FT.BCSS_CLASSES, amp=False, seg_size=SEG
+        )
+        state = FT.create_finetune_state(jax.random.key(42), config, local_batch=1)
+        ckpt = C.save_train_state(str(tmp_path), state, epoch=7, block=True)
+
+        pth = str(tmp_path / "best_ft_model.pth.tar")
+        out = run_tool(
+            "export_torch.py", "--kind", "hooknet", "--checkpoint", ckpt,
+            "--out", pth, "--classes", str(config.num_classes),
+        )
+        assert "exported hooknet checkpoint" in out
+
+        import torch
+
+        payload = torch.load(pth, map_location="cpu", weights_only=False)
+        assert payload["arch"] == "resnet18"
+        assert all(k.startswith("module.") for k in payload["state_dict"])
+
+        art = str(tmp_path / "hooknet.stablehlo")
+        out = run_tool(
+            "export_serving.py", "--checkpoint", pth, "--out", art,
+            "--data-name", "bcss", "--seg-size", str(SEG), "--chunk", "2",
+        )
+        assert "exported serving artifact" in out
+
+        r = np.random.default_rng(5)
+        ctx = jnp.asarray(r.normal(size=(2, SEG, SEG, 3)), jnp.float32)
+        tgt = jnp.asarray(r.normal(size=(2, SEG, SEG, 3)), jnp.float32)
+        infer = serving.load_serving_artifact(art)
+        pred = np.asarray(infer(ctx, tgt))
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        _, logits = state.model.apply(variables, ctx, tgt, train=False)
+        want = np.argmax(np.asarray(logits, dtype=np.float32), axis=-1)
+        np.testing.assert_array_equal(pred, want)
