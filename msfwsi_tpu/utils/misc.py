@@ -121,7 +121,12 @@ def dump_config(log_dir: str, args) -> None:
 
 
 class AverageMeter:
-    """Computes and stores the average and current value."""
+    """Weighted running mean that also remembers the last value.
+
+    ``str()`` renders ``"<name> <val> (<avg>)"`` — the reference's training
+    log line format (``ssl_train.py:502-518``), which downstream log parsing
+    may rely on. ``fmt`` is a ``":"``-prefixed format spec (e.g. ``":6.3f"``).
+    """
 
     def __init__(self, name: str, fmt: str = ":f"):
         self.name = name
@@ -129,38 +134,37 @@ class AverageMeter:
         self.reset()
 
     def reset(self):
-        self.val = 0
-        self.avg = 0
-        self.sum = 0
+        self.val = 0.0
+        self.sum = 0.0
         self.count = 0
+
+    @property
+    def avg(self) -> float:
+        return self.sum / self.count if self.count else 0.0
 
     def update(self, val, n: int = 1):
         self.val = val
         self.sum += val * n
         self.count += n
-        self.avg = self.sum / self.count
 
     def __str__(self):
-        fmtstr = "{name} {val" + self.fmt + "} ({avg" + self.fmt + "})"
-        return fmtstr.format(**self.__dict__)
+        spec = self.fmt.removeprefix(":")
+        return f"{self.name} {self.val:{spec}} ({self.avg:{spec}})"
 
 
 class ProgressMeter:
+    """Joins a ``prefix[batch/total]`` heading with its meters, tab-separated
+    (log-format parity: ``ssl_train.py:521-536``)."""
+
     def __init__(self, num_batches: int, meters, prefix: str = ""):
-        self.batch_fmtstr = self._fmtstr(num_batches)
+        self.total = num_batches
         self.meters = meters
         self.prefix = prefix
 
     def display(self, batch: int) -> str:
-        entries = [self.prefix + self.batch_fmtstr.format(batch)]
-        entries += [str(m) for m in self.meters]
-        return "\t".join(entries)
-
-    @staticmethod
-    def _fmtstr(num_batches: int) -> str:
-        num_digits = len(str(num_batches // 1))
-        fmt = "{:" + str(num_digits) + "d}"
-        return "[" + fmt + "/" + fmt.format(num_batches) + "]"
+        width = len(str(self.total))
+        heading = f"{self.prefix}[{batch:{width}d}/{self.total}]"
+        return "\t".join([heading, *(str(m) for m in self.meters)])
 
 
 class BestRecorder:
