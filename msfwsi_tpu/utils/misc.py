@@ -168,16 +168,18 @@ class ProgressMeter:
 
 
 class BestRecorder:
+    """Tracks the best value seen so far; ``update`` returns
+    ``(best, improved)`` (parity: ``ssl_finetune.py:614-634``)."""
+
     def __init__(self, mode: str):
-        assert mode in ("min", "max"), "invalid mode!"
+        if mode not in ("min", "max"):
+            raise ValueError(f"invalid mode: {mode!r}")
+        self._better = (lambda a, b: a < b) if mode == "min" else (lambda a, b: a > b)
         self.mode = mode
-        self.best = 10000 if mode == "min" else -10000
+        self.best = float("inf") if mode == "min" else float("-inf")
 
     def update(self, val):
-        if self.mode == "min":
-            is_best = val < self.best
-            self.best = min(val, self.best)
-        else:
-            is_best = val > self.best
-            self.best = max(val, self.best)
-        return self.best, is_best
+        improved = self._better(val, self.best)
+        if improved:
+            self.best = val
+        return self.best, improved
