@@ -16,7 +16,9 @@ loss read (a full device->host fetch is pathologically slow through the
 axon tunnel and block_until_ready alone under-synchronizes).
 
 Env knobs: BENCH_ARCH, BENCH_BATCH, BENCH_ITERS, BENCH_WARMUP,
-BENCH_USE_AC=1 (remat), BENCH_INTER_OPT=adam|adafactor (factored fuser-head
+BENCH_USE_AC=1 (remat), BENCH_ACCUM=N (gradient accumulation — fits the
+published resnet50 b32 on one v5e),
+BENCH_INTER_OPT=adam|adafactor (factored fuser-head
 optimizer state — required to fit resnet50's ~1.6B-param heads on one v5e),
 BENCH_MODE=pipeline|step|hooknet|infer|eval_e2e
   pipeline: default headline (aug + SSL train step, tiles/sec/chip)
@@ -74,6 +76,7 @@ def main():
         )
         or None,
         fused_bn=os.environ.get("BENCH_FUSED_BN", "0") == "1",
+        accum_steps=int(os.environ.get("BENCH_ACCUM", "1")),
     )
     K = config.scale**2
     state = S.create_ssl_state(jax.random.key(0), config)
@@ -128,6 +131,7 @@ def main():
                     else ""
                 )
                 + (",fusedbn" if config.fused_bn else "")
+                + (f",accum{config.accum_steps}" if config.accum_steps > 1 else "")
                 + "]",
                 "value": round(tiles_per_sec_chip, 2),
                 "unit": "tiles/sec/chip",

@@ -72,6 +72,10 @@ class FinetuneConfig:
     # the packed domain (never materializing the lane-padded 256px logits).
     # Only for training states — eval paths expect logical logits.
     packed_logits: bool = False
+    # Gradient accumulation: sequential microbatches inside the jitted
+    # step, one Adam update on the averaged gradient (see
+    # train.ssl.SSLConfig.accum_steps for the BN-statistics semantics).
+    accum_steps: int = 1
 
     @property
     def num_classes(self) -> int:
@@ -180,12 +184,51 @@ def finetune_loss_fn(model, params, batch_stats, batch, lam: float, num_fg: int)
     return loss, (tgt_logits, mutated["batch_stats"])
 
 
-def finetune_train_step(state: SegTrainState, batch, lam: float, num_fg: int):
-    grad_fn = jax.value_and_grad(
-        lambda p: finetune_loss_fn(state.model, p, state.batch_stats, batch, lam, num_fg),
-        has_aux=True,
-    )
-    (loss, (tgt_logits, new_stats)), grads = grad_fn(state.params)
+def finetune_train_step(
+    state: SegTrainState, batch, lam: float, num_fg: int, accum_steps: int = 1
+):
+    if accum_steps == 1:
+        grad_fn = jax.value_and_grad(
+            lambda p: finetune_loss_fn(state.model, p, state.batch_stats, batch, lam, num_fg),
+            has_aux=True,
+        )
+        (loss, (tgt_logits, new_stats)), grads = grad_fn(state.params)
+    else:
+        # Sequential microbatches, one update on the averaged gradient
+        # (semantics documented at FinetuneConfig.accum_steps). Logits are
+        # re-concatenated so the per-sample train metrics below keep their
+        # (N, C) shape contract.
+        from .ssl import slice_microbatch
+
+        if batch["context"].shape[0] % accum_steps:
+            raise ValueError(
+                f"batch size {batch['context'].shape[0]} not divisible by "
+                f"accum_steps {accum_steps}"
+            )
+        new_stats = state.batch_stats
+        grads_sum = None
+        loss_sum = 0.0
+        logits_parts = []
+        for i in range(accum_steps):
+            mb = slice_microbatch(batch, accum_steps, i)
+            grad_fn = jax.value_and_grad(
+                lambda p, s=new_stats, b=mb: finetune_loss_fn(
+                    state.model, p, s, b, lam, num_fg
+                ),
+                has_aux=True,
+            )
+            (loss_i, (logits_i, new_stats)), grads_i = grad_fn(state.params)
+            grads_sum = (
+                grads_i
+                if grads_sum is None
+                else jax.tree.map(jnp.add, grads_sum, grads_i)
+            )
+            loss_sum = loss_sum + loss_i
+            logits_parts.append(logits_i)
+        inv = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: g * inv, grads_sum)
+        loss = loss_sum * inv
+        tgt_logits = jnp.concatenate(logits_parts, axis=0)
     updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     new_state = state.replace(
@@ -218,9 +261,10 @@ def finetune_train_step(state: SegTrainState, batch, lam: float, num_fg: int):
 def make_jitted_finetune_step(config: FinetuneConfig, mesh=None, donate: bool = True):
     lam = float(config.lam)
     num_fg = len(config.class_names)
+    accum = config.accum_steps
 
     def step(state, batch):
-        return finetune_train_step(state, batch, lam, num_fg)
+        return finetune_train_step(state, batch, lam, num_fg, accum_steps=accum)
 
     kwargs = {}
     if mesh is not None:
@@ -242,6 +286,7 @@ def make_jitted_fused_finetune_step(config: FinetuneConfig, aug_cfg, mesh=None, 
 
     lam = float(config.lam)
     num_fg = len(config.class_names)
+    accum = config.accum_steps
 
     def step(state, imgs_u8, masks_u8, key, valid=None):
         """``valid``: (B,) bool — False marks wrap-padded samples in the
@@ -250,12 +295,15 @@ def make_jitted_fused_finetune_step(config: FinetuneConfig, aug_cfg, mesh=None, 
         metric rows come back unmasked — callers slice them off (padding is
         always a suffix). Padded slots hold wrapped *real* images, so BN
         batch statistics stay in-distribution (documented minor deviation:
-        that one step's BN stats are computed over a resampled batch)."""
+        that one step's BN stats are computed over a resampled batch).
+        Under accum_steps > 1 the Dice loss is averaged per microbatch
+        (Dice sums are batch-nonlinear — the standard accumulation
+        semantics); an all-padded microbatch contributes loss 0."""
         (ctx, tgt), (cm, tm) = make_seg_train_views(key, imgs_u8, masks_u8, aug_cfg)
         batch = {"context": ctx, "target": tgt, "context_mask": cm, "target_mask": tm}
         if valid is not None:
             batch["valid"] = valid
-        return finetune_train_step(state, batch, lam, num_fg)
+        return finetune_train_step(state, batch, lam, num_fg, accum_steps=accum)
 
     kwargs = {}
     if mesh is not None:

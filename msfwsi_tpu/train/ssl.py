@@ -80,6 +80,21 @@ class SSLConfig:
     # unfused path on v5e (-9% at B=8) — see ROADMAP.md; kept opt-in as a
     # documented experiment.
     fused_bn: bool = False
+    # Gradient accumulation: split each global batch into this many
+    # sequential microbatches inside the jitted step; gradients are
+    # averaged and Adam applied once per global batch. Beyond-parity
+    # capability (the reference has no accumulation): it makes the
+    # published global batch sizes reachable on small-HBM chips — e.g.
+    # resnet50 at the recipes' b32 does not fit on one 16 GB v5e in any
+    # single-pass config (BASELINE.md), but fits with accum_steps=2.
+    # Deviation from a single-pass step, documented: BatchNorm batch
+    # statistics are computed per microbatch (and the running stats see
+    # accum_steps momentum updates per global step) — the same semantics
+    # a torch user gets when accumulating, and the per-shard analog of
+    # non-sync BN. Optimizer math is otherwise exact: the averaged
+    # microbatch gradient equals the global-batch gradient of the
+    # mean loss given each microbatch's own BN statistics.
+    accum_steps: int = 1
     # False (default, TPU fast path): target views stay in spatial order and
     # the jigsaw shuffle is applied at the feature level inside the model —
     # mathematically identical, saves two ~300 MB view permutes per step
@@ -310,23 +325,16 @@ def _assemble_fac_sides(fac_inputs, tap_grads):
     return sides
 
 
-def ssl_train_step(
-    state: SSLTrainState, batch, fuser_weights: Sequence[float], factored: bool = False
-):
-    """One SGD step. Pure function of (state, batch) — jit it once with
-    ``fuser_weights`` closed over (they are static per run). ``factored``
-    (inter_opt="fused_adafactor") additionally differentiates w.r.t. zero
-    output-taps on the inter-head Dense layers and hands the (X, dY)
-    gradient factors to the optimizer, whose big-kernel updates then never
-    materialize dense gradients (train/factored.py); the unused autodiff
-    dW dots are dead code XLA eliminates."""
-    extra = {}
+def _ssl_grad_once(state, batch_stats, batch, fuser_weights, factored):
+    """Loss + gradients of one (micro)batch against the given BN stats.
+    Returns ``(loss, per_path, new_stats, grads, fac_sides)`` where
+    ``fac_sides`` is None unless ``factored``."""
     if factored:
         B = batch["context1"].shape[0]
         taps = make_zero_taps(state.model, B, state.model.dtype)
         grad_fn = jax.value_and_grad(
             lambda p, t: ssl_loss_fn(
-                state.model, p, state.batch_stats, batch, fuser_weights, inter_taps=t
+                state.model, p, batch_stats, batch, fuser_weights, inter_taps=t
             ),
             argnums=(0, 1),
             has_aux=True,
@@ -334,13 +342,110 @@ def ssl_train_step(
         (loss, (per_path, new_stats, fac_inputs)), (grads, tap_grads) = grad_fn(
             state.params, taps
         )
-        extra["fac_sides"] = _assemble_fac_sides(fac_inputs, tap_grads)
-    else:
-        grad_fn = jax.value_and_grad(
-            lambda p: ssl_loss_fn(state.model, p, state.batch_stats, batch, fuser_weights),
-            has_aux=True,
+        return loss, per_path, new_stats, grads, _assemble_fac_sides(fac_inputs, tap_grads)
+    grad_fn = jax.value_and_grad(
+        lambda p: ssl_loss_fn(state.model, p, batch_stats, batch, fuser_weights),
+        has_aux=True,
+    )
+    (loss, (per_path, new_stats, _)), grads = grad_fn(state.params)
+    return loss, per_path, new_stats, grads, None
+
+
+def slice_microbatch(batch, accum_steps: int, i: int):
+    """The i-th of ``accum_steps`` equal leading-axis slices of every array
+    in ``batch``. Per-sample axes (B) and flattened tile axes (B*K, sample-
+    major) both split on whole samples this way; under a batch-sharded mesh
+    each slice keeps the "data"-axis sharding."""
+
+    def sl(a):
+        mb = a.shape[0] // accum_steps
+        return jax.lax.slice_in_dim(a, i * mb, (i + 1) * mb, axis=0)
+
+    return jax.tree.map(sl, batch)
+
+
+def _zero_factored_grads(grads):
+    """Replace the factored inter-head kernels' dense gradients with zeros.
+    Under accumulation the dense dW autodiff dots would otherwise become
+    live through the accumulator sum; zeroing keeps them dead code (the
+    fused optimizer reads only the (X, dY) factors)."""
+    from .factored import is_factored_kernel
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, g: jnp.zeros_like(g) if is_factored_kernel(path, g) else g, grads
+    )
+
+
+def ssl_train_step(
+    state: SSLTrainState,
+    batch,
+    fuser_weights: Sequence[float],
+    factored: bool = False,
+    accum_steps: int = 1,
+):
+    """One SGD step. Pure function of (state, batch) — jit it once with
+    ``fuser_weights`` closed over (they are static per run). ``factored``
+    (inter_opt="fused_adafactor") additionally differentiates w.r.t. zero
+    output-taps on the inter-head Dense layers and hands the (X, dY)
+    gradient factors to the optimizer, whose big-kernel updates then never
+    materialize dense gradients (train/factored.py); the unused autodiff
+    dW dots are dead code XLA eliminates.
+
+    ``accum_steps > 1`` runs that many sequential microbatches (equal
+    leading-axis slices of ``batch``) and applies one optimizer update on
+    the averaged gradient — see :class:`SSLConfig.accum_steps` for the BN
+    semantics. The unrolled chain reuses one microbatch's activation
+    footprint (each iteration depends on the previous accumulator)."""
+    extra = {}
+    if accum_steps == 1:
+        loss, per_path, new_stats, grads, sides = _ssl_grad_once(
+            state, state.batch_stats, batch, fuser_weights, factored
         )
-        (loss, (per_path, new_stats, _)), grads = grad_fn(state.params)
+        if factored:
+            extra["fac_sides"] = sides
+    else:
+        if batch["context1"].shape[0] % accum_steps:
+            raise ValueError(
+                f"batch size {batch['context1'].shape[0]} not divisible by "
+                f"accum_steps {accum_steps}"
+            )
+        new_stats = state.batch_stats
+        grads_sum = None
+        loss_sum = 0.0
+        per_path_sum = None
+        sides_parts = []
+        for i in range(accum_steps):
+            mb = slice_microbatch(batch, accum_steps, i)
+            loss_i, per_path_i, new_stats, grads_i, sides_i = _ssl_grad_once(
+                state, new_stats, mb, fuser_weights, factored
+            )
+            if factored:
+                grads_i = _zero_factored_grads(grads_i)
+                sides_parts.append(sides_i)
+            grads_sum = (
+                grads_i
+                if grads_sum is None
+                else jax.tree.map(jnp.add, grads_sum, grads_i)
+            )
+            loss_sum = loss_sum + loss_i
+            per_path_sum = (
+                per_path_i
+                if per_path_sum is None
+                else {k: per_path_sum[k] + v for k, v in per_path_i.items()}
+            )
+        inv = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: g * inv, grads_sum)
+        loss = loss_sum * inv
+        per_path = {k: v * inv for k, v in per_path_sum.items()}
+        if factored:
+            # mean over microbatches of X_i^T dY_i == concat(X)^T concat(dY/accum)
+            extra["fac_sides"] = {
+                k: (
+                    jnp.concatenate([p[k][0] for p in sides_parts], axis=0),
+                    jnp.concatenate([p[k][1] for p in sides_parts], axis=0) * inv,
+                )
+                for k in sides_parts[0]
+            }
     updates, new_opt_state = state.tx.update(
         grads, state.opt_state, state.params, **extra
     )
@@ -366,9 +471,12 @@ def make_jitted_train_step(
     propagates the TP collectives."""
     fuser_weights = tuple(config.fuser_weights)
     factored = config.inter_opt == "fused_adafactor"
+    accum = config.accum_steps
 
     def step(state, batch):
-        return ssl_train_step(state, batch, fuser_weights, factored=factored)
+        return ssl_train_step(
+            state, batch, fuser_weights, factored=factored, accum_steps=accum
+        )
 
     kwargs = {}
     if mesh is not None and not model_parallel:
@@ -409,10 +517,13 @@ def make_jitted_fused_step(config: SSLConfig, aug_cfg, mesh=None, donate: bool =
 
     fuser_weights = tuple(config.fuser_weights)
     factored = config.inter_opt == "fused_adafactor"
+    accum = config.accum_steps
 
     def step(state, tiles_u8, key):
         batch = make_ssl_views(key, tiles_u8, aug_cfg, shuffle_views=config.shuffle_views)
-        return ssl_train_step(state, batch, fuser_weights, factored=factored)
+        return ssl_train_step(
+            state, batch, fuser_weights, factored=factored, accum_steps=accum
+        )
 
     kwargs = {}
     if mesh is not None:

@@ -1,0 +1,218 @@
+"""Gradient accumulation (SSLConfig.accum_steps / FinetuneConfig.accum_steps).
+
+Semantics under test: accum_steps splits the global batch into sequential
+microbatches inside the one jitted step and applies a single optimizer
+update on the averaged gradient (beyond-parity capability — the reference
+has none; it makes the published global batches, e.g. resnet50 -b 32, fit
+small-HBM chips).
+
+Key identity used throughout: BN train-mode normalization depends only on
+the microbatch's own statistics, so with a duplicated-halves batch
+``[b; b]`` every microbatch gradient equals the plain gradient of ``b`` —
+the accumulated update must match the unaccumulated update on ``b``
+exactly (only the BN *running* stats see two momentum updates).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msfwsi_tpu.parallel import MeshSpec, make_mesh, shard_batch
+from msfwsi_tpu.train import finetune as FT
+from msfwsi_tpu.train import ssl as S
+
+
+def tiny_config(**kw):
+    defaults = dict(arch="resnet18", scale=2, img_size=32, batch_size=8, amp=False)
+    defaults.update(kw)
+    return S.SSLConfig(**defaults)
+
+
+def random_batch(config, B, seed=0):
+    rng = np.random.default_rng(seed)
+    K, Sz = config.scale**2, config.img_size
+    rev = np.stack([rng.permutation(K) for _ in range(B)])
+    t1, t2 = S.target_keys(config.shuffle_views)
+    return {
+        "context1": jnp.asarray(rng.normal(size=(B, Sz, Sz, 3)), jnp.float32),
+        "context2": jnp.asarray(rng.normal(size=(B, Sz, Sz, 3)), jnp.float32),
+        t1: jnp.asarray(rng.normal(size=(B * K, Sz, Sz, 3)), jnp.float32),
+        t2: jnp.asarray(rng.normal(size=(B * K, Sz, Sz, 3)), jnp.float32),
+        "rev1": jnp.asarray(np.argsort(rev, axis=1)),
+        "rev2": jnp.asarray(np.argsort(rev, axis=1)),
+    }
+
+
+def duplicate_batch(batch):
+    """[b; b] along the sample-major leading axis of every array."""
+    return jax.tree.map(lambda a: jnp.concatenate([a, a], axis=0), batch)
+
+
+def assert_trees_close(a, b, rtol=1e-6, atol=1e-6):
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    flat_b = dict(
+        (jax.tree_util.keystr(p), v) for p, v in jax.tree_util.tree_leaves_with_path(b)
+    )
+    for path, va in flat_a:
+        vb = flat_b[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(va, np.float32),
+            np.asarray(vb, np.float32),
+            rtol=rtol,
+            atol=atol,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+class TestSSLAccum:
+    def test_duplicated_halves_match_unaccumulated(self):
+        """accum=2 on [b; b] must produce the same params and loss as
+        accum=1 on b (identical microbatch gradients average to
+        themselves)."""
+        cfg1 = tiny_config()
+        cfg2 = tiny_config(accum_steps=2)
+        state = S.create_ssl_state(jax.random.key(0), cfg1)
+        b = random_batch(cfg1, B=4, seed=7)
+
+        s1, m1 = S.make_jitted_train_step(cfg1, donate=False)(state, b)
+        s2, m2 = S.make_jitted_train_step(cfg2, donate=False)(
+            state, duplicate_batch(b)
+        )
+        assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
+        assert_trees_close(s2.params, s1.params)
+
+    def test_matches_mean_gradient_oracle(self):
+        """accum=2 on a heterogeneous batch == one tx.update on the mean of
+        the two microbatch gradients (computed independently here), with BN
+        stats chained through the microbatches. The optimizer is swapped
+        for plain SGD so the parameter delta IS the averaged gradient —
+        a direct, tight check of the accumulation math (Adam's first step
+        is ~+-lr*sign(g), which amplifies 1-ulp cross-compilation grad
+        noise into +-lr param diffs and only supports loose bounds)."""
+        import optax
+
+        cfg = tiny_config(accum_steps=2)
+        tx = optax.sgd(0.1)
+        state = S.create_ssl_state(jax.random.key(1), cfg)
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
+        batch = random_batch(cfg, B=8, seed=3)
+        fw = tuple(cfg.fuser_weights)
+
+        # Independent oracle from the public loss fn.
+        halves = [S.slice_microbatch(batch, 2, i) for i in range(2)]
+
+        @jax.jit
+        def oracle(params, stats0):
+            stats = stats0
+            grads, losses = [], []
+            for mb in halves:
+                (loss, (_, stats, _)), g = jax.value_and_grad(
+                    lambda p, s=stats, m=mb: S.ssl_loss_fn(state.model, p, s, m, fw),
+                    has_aux=True,
+                )(params)
+                grads.append(g)
+                losses.append(loss)
+            mean_g = jax.tree.map(lambda a, b: (a + b) / 2.0, *grads)
+            new_params = jax.tree.map(lambda p, g: p - 0.1 * g, params, mean_g)
+            return new_params, stats, (losses[0] + losses[1]) / 2.0
+
+        oracle_params, oracle_stats, oracle_loss = oracle(
+            state.params, state.batch_stats
+        )
+
+        s2, m2 = S.make_jitted_train_step(cfg, donate=False)(state, batch)
+        assert float(m2["loss"]) == pytest.approx(
+            float(oracle_loss), rel=1e-3, abs=1e-5
+        )
+        assert_trees_close(s2.params, oracle_params, rtol=1e-4, atol=5e-6)
+        assert_trees_close(s2.batch_stats, oracle_stats, rtol=1e-4, atol=5e-6)
+
+    def test_fused_adafactor_accum_duplicated_halves(self):
+        """The fused outer-product path under accumulation: the (X, dY)
+        factor sides are concatenated across microbatches with dY scaled by
+        1/accum — on [b; b] this must equal the unaccumulated fused step on
+        b. Also proves the dense dW dots stay dead (the zeroed accumulator
+        feeds nothing)."""
+        cfg1 = tiny_config(batch_size=4, inter_opt="fused_adafactor")
+        cfg2 = tiny_config(batch_size=4, inter_opt="fused_adafactor", accum_steps=2)
+        state = S.create_ssl_state(jax.random.key(2), cfg1)
+        b = random_batch(cfg1, B=4, seed=11)
+
+        s1, m1 = S.make_jitted_train_step(cfg1, donate=False)(state, b)
+        s2, m2 = S.make_jitted_train_step(cfg2, donate=False)(
+            state, duplicate_batch(b)
+        )
+        assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
+        assert_trees_close(s2.params, s1.params, rtol=1e-5, atol=1e-6)
+
+    def test_indivisible_batch_raises(self):
+        cfg = tiny_config(accum_steps=3)
+        state = S.create_ssl_state(jax.random.key(0), cfg)
+        with pytest.raises(ValueError, match="not divisible"):
+            S.make_jitted_train_step(cfg, donate=False)(
+                state, random_batch(cfg, B=4)
+            )
+
+    def test_sharded_accum_matches_single_device(self):
+        """Microbatch slices of a "data"-sharded batch keep their sharding;
+        the accumulated step under an 8-device mesh must match the
+        single-device result."""
+        cfg = tiny_config(accum_steps=2)
+        state = S.create_ssl_state(jax.random.key(4), cfg)
+        batch = random_batch(cfg, B=8, seed=9)
+
+        _, m_single = S.make_jitted_train_step(cfg, donate=False)(state, batch)
+
+        mesh = make_mesh(MeshSpec(data=4, model=2))
+        sharded = shard_batch(mesh, batch)
+        _, m_mesh = S.make_jitted_train_step(cfg, mesh=mesh, donate=False)(
+            state, sharded
+        )
+        assert float(m_mesh["loss"]) == pytest.approx(
+            float(m_single["loss"]), rel=1e-4, abs=1e-5
+        )
+
+
+class TestFinetuneAccum:
+    def _state_and_batch(self, accum):
+        cfg = FT.FinetuneConfig(
+            arch="resnet18",
+            class_names=("a", "b", "c"),
+            batch_size=4,
+            amp=False,
+            seg_size=64,
+            accum_steps=accum,
+        )
+        state = FT.create_finetune_state(jax.random.key(5), cfg, local_batch=2)
+        rng = np.random.default_rng(17)
+        B, SEG = 4, cfg.seg_size
+        batch = {
+            "context": jnp.asarray(rng.normal(size=(B, SEG, SEG, 3)), jnp.float32),
+            "target": jnp.asarray(rng.normal(size=(B, SEG, SEG, 3)), jnp.float32),
+            "context_mask": jnp.asarray(
+                rng.integers(0, cfg.num_classes, size=(B, SEG, SEG)), jnp.int32
+            ),
+            "target_mask": jnp.asarray(
+                rng.integers(0, cfg.num_classes, size=(B, SEG, SEG)), jnp.int32
+            ),
+        }
+        return cfg, state, batch
+
+    def test_duplicated_halves_match_unaccumulated(self):
+        cfg1, state, b = self._state_and_batch(accum=1)
+        cfg2, _, _ = self._state_and_batch(accum=2)
+
+        s1, m1 = FT.make_jitted_finetune_step(cfg1, donate=False)(state, b)
+        s2, m2 = FT.make_jitted_finetune_step(cfg2, donate=False)(
+            state, duplicate_batch(b)
+        )
+        assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
+        assert_trees_close(s2.params, s1.params)
+        # Per-sample train metrics keep the (N, C) contract: the duplicated
+        # halves produce duplicated rows.
+        for k in ("tp", "fp", "fn", "tn"):
+            assert m2[k].shape[0] == 8
+            np.testing.assert_array_equal(np.asarray(m2[k][:4]), np.asarray(m1[k]))
+            np.testing.assert_array_equal(np.asarray(m2[k][4:]), np.asarray(m1[k]))

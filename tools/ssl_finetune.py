@@ -88,6 +88,7 @@ def main_worker(args):
         seed=args.seed if args.seed is not None else 0,
         packed_tail=args.packed_tail,
         packed_logits=args.packed_tail,
+        accum_steps=args.accum_steps,
     )
     logger.info(f"=> creating model '{args.arch}' ({config.num_classes} classes incl. bg)")
     logger.info(f"=> scale lr from {args.lr:.4f} to {config.init_lr:.4f}")
@@ -466,6 +467,10 @@ def build_parser():
                              "lane-padding fix — see ops/s2d.py; measured "
                              "+22%% train step). Validation/eval always run "
                              "unpacked; checkpoints are identical either way")
+    parser.add_argument("--accum-steps", type=int, default=1,
+                        help="gradient accumulation: sequential microbatches inside "
+                        "the jitted step, one Adam update on the averaged gradient "
+                        "(Dice averaged per microbatch; BN stats per-microbatch)")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--val-chunk", type=int, default=128,
                         help="tiles per device pass during validation (reference: 128)")

@@ -86,6 +86,7 @@ def main_worker(args):
         inter_dtype=args.inter_dtype,
         remat_stages=tuple(args.remat_stages) if args.remat_stages else None,
         fused_bn=args.fused_convbn,
+        accum_steps=args.accum_steps,
     )
     logger.info(f"=> creating model '{args.arch}' (scale={args.scale}, K={config.scale**2})")
     logger.info(f"=> use init_lr of {config.init_lr:.4f} (sqrt-batch scaling)")
@@ -378,6 +379,12 @@ def build_parser():
     parser.add_argument("--inter-dtype", type=str, default="float32", choices=("float32", "bfloat16"),
                         help="fuser-head parameter storage dtype (bfloat16 halves head "
                         "param/grad HBM traffic; single-small-chip resnet50 option)")
+    parser.add_argument("--accum-steps", type=int, default=1,
+                        help="gradient accumulation: split each global batch into this "
+                        "many sequential microbatches inside the jitted step (one Adam "
+                        "update on the averaged gradient). Makes the published global "
+                        "batches fit small-HBM chips, e.g. resnet50 -b 32 on one v5e "
+                        "with --accum-steps 2. BN stats are per-microbatch.")
     parser.add_argument("--fused-convbn", action="store_true",
                         help="EXPERIMENTAL fused conv+BN encoder dataflow "
                         "(Bottleneck archs: 1x1 convs as einsum-dots with BN "
