@@ -90,26 +90,28 @@ def _rgb_to_hsv(img):
 
 
 def _hsv_to_rgb(hsv):
+    """Branchless, continuous HSV->RGB (the "K-formula", as in kornia).
+
+    Each channel is ``v - v*s*clip(min(k, 4-k), 0, 1)`` with
+    ``k = (n + 6h) mod 6`` — a continuous, 1-periodic, piecewise-linear
+    function of ``h``, algebraically identical to the classic
+    sextant-branch formulation (floor(6h) + p/q/t selects) in exact
+    arithmetic. The branch form is NOT safe under XLA fusion: when a
+    fusion rematerializes ``h`` twice with different FMA contraction, the
+    sextant index ``floor(6h)`` and the fraction ``6h - i`` can come from
+    *different* roundings, and near the %1 wrap that mismatch produced
+    O(1) per-pixel color errors (observed on XLA:CPU in the fully fused
+    aug+train step). The K-formula is Lipschitz in all inputs, so
+    duplicated evaluation costs at most a few ulps."""
     h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
+    h6 = h * 6.0
 
-    # Pure elementwise selects (VPU-fusable — jnp.choose lowers to a gather,
-    # which serializes on TPU).
-    def pick(c0, c1, c2, c3, c4, c5):
-        out = c5
-        for idx, c in zip((4, 3, 2, 1, 0), (c4, c3, c2, c1, c0)):
-            out = jnp.where(i == idx, c, out)
-        return out
+    def chan(n):
+        k = (n + h6) % 6.0
+        w = jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+        return v - v * s * w
 
-    r = pick(v, q, p, p, t, v)
-    g = pick(t, v, v, q, p, p)
-    b = pick(p, p, t, v, v, q)
-    return jnp.stack([r, g, b], axis=-1)
+    return jnp.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -613,15 +615,23 @@ def random_resized_crop(
 ):
     """albu RandomResizedCrop(out, out, scale=scale) (``ssl_train.py:176``).
 
-    ``use_mxu`` selects the matmul resampler (default: on for TPU backends,
-    off elsewhere). ``flip``: optional (B,) bool — a horizontal flip folded
-    into the sampling grid for free (exact; flips commute with every
-    pixelwise op and with the symmetric blur/sharpen kernels, so albu's
-    flip-late pipelines can flip-early here)."""
+    ``use_mxu`` selects the matmul resampler (default on for every
+    backend). Besides being the fast TPU form, the matmul resampler is
+    the *numerically reproducible* one: when XLA fuses the gather+lerp
+    form into downstream consumers it may duplicate the index/weight
+    computation per fusion with different FMA contraction, and on
+    XLA:CPU that produced O(1) per-pixel differences between eager and
+    fully-fused evaluations of the same key (~6% of pixels in the fused
+    aug+train step). The interpolation-matrix form keeps the sampling
+    decision in integer one-hots consumed by a single matmul, which XLA
+    does not duplicate. ``flip``: optional (B,) bool — a horizontal flip
+    folded into the sampling grid for free (exact; flips commute with
+    every pixelwise op and with the symmetric blur/sharpen kernels, so
+    albu's flip-late pipelines can flip-early here)."""
     B, H, W, _ = img.shape
     boxes = sample_rrc_boxes(key, B, (H, W), scale, ratio)
     if use_mxu is None:
-        use_mxu = jax.default_backend() == "tpu"
+        use_mxu = True
     if use_mxu:
         return crop_and_resize_mxu(img, boxes, out_size, flip=flip)
     return crop_and_resize(img, boxes, out_size, flip=flip)

@@ -213,6 +213,49 @@ class TestPipelines:
         for k in b1:
             np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
 
+    def test_ssl_views_deterministic_across_fusion_contexts(self):
+        """Same key must give the same views whether the pipeline runs
+        eagerly, jitted alone, or jitted with key-folding and batch
+        slicing inside (the fused train step / accumulation contexts).
+
+        Regression test: XLA may duplicate a producer computation into
+        several consumer fusions with different FMA contraction, so any
+        float-derived *discrete* decision (gather indices, floor/%-based
+        sextant branches) can flip between copies. The gather-form
+        resampler and the branch-form HSV->RGB both did exactly that on
+        XLA:CPU — O(1) differences on ~6% of pixels between eager and
+        fully-fused evaluation — which is why the pipeline uses the
+        matmul resampler and the branchless K-formula hue everywhere.
+        Tolerance is plain f32 reassociation noise; any index flip shows
+        up as an O(1) pixel error."""
+        cfg = P.AugConfig(img_size=32, grid=2, tile_px=32)
+        tiles = jnp.asarray(
+            np.random.default_rng(23).integers(
+                0, 255, size=(4, 64, 64, 3), dtype=np.uint8
+            )
+        )
+        key = jax.random.key(42)
+        k0 = jax.random.fold_in(key, 0)
+        half = tiles[:2]
+
+        eager = P.make_ssl_views(k0, half, cfg)
+        jitted = jax.jit(lambda k, t: P.make_ssl_views(k, t, cfg))(k0, half)
+        folded = jax.jit(
+            lambda k, t: P.make_ssl_views(
+                jax.random.fold_in(k, 0),
+                jax.lax.slice_in_dim(t, 0, 2, axis=0),
+                cfg,
+            )
+        )(key, tiles)
+        for name, other in (("jit", jitted), ("fold+slice jit", folded)):
+            for k in eager:
+                np.testing.assert_allclose(
+                    np.asarray(eager[k], np.float32),
+                    np.asarray(other[k], np.float32),
+                    atol=2e-5,
+                    err_msg=f"{name}:{k}",
+                )
+
     def test_seg_train_views(self):
         cfg = P.AugConfig(seg_size=32)
         rng = np.random.default_rng(2)
