@@ -211,6 +211,11 @@ def finetune_train_step(
         logits_parts = []
         for i in range(accum_steps):
             mb = slice_microbatch(batch, accum_steps, i)
+            if grads_sum is not None:
+                # Serialize the microbatches (see train/ssl.py — without
+                # this barrier XLA overlaps the forwards and peak HBM
+                # approaches the unaccumulated step's).
+                mb, grads_sum = jax.lax.optimization_barrier((mb, grads_sum))
             grad_fn = jax.value_and_grad(
                 lambda p, s=new_stats, b=mb: finetune_loss_fn(
                     state.model, p, s, b, lam, num_fg

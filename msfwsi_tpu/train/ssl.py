@@ -382,6 +382,7 @@ def ssl_train_step(
     fuser_weights: Sequence[float],
     factored: bool = False,
     accum_steps: int = 1,
+    microbatch_fn=None,
 ):
     """One SGD step. Pure function of (state, batch) — jit it once with
     ``fuser_weights`` closed over (they are static per run). ``factored``
@@ -392,10 +393,13 @@ def ssl_train_step(
     dW dots are dead code XLA eliminates.
 
     ``accum_steps > 1`` runs that many sequential microbatches (equal
-    leading-axis slices of ``batch``) and applies one optimizer update on
-    the averaged gradient — see :class:`SSLConfig.accum_steps` for the BN
-    semantics. The unrolled chain reuses one microbatch's activation
-    footprint (each iteration depends on the previous accumulator)."""
+    leading-axis slices of ``batch``, or ``microbatch_fn(i)`` if given —
+    the fused aug path uses it to build each microbatch's views on the
+    fly instead of materializing the full-batch views up front) and
+    applies one optimizer update on the averaged gradient — see
+    :class:`SSLConfig.accum_steps` for the BN semantics. The unrolled
+    chain reuses one microbatch's activation footprint (each iteration
+    depends on the previous accumulator)."""
     extra = {}
     if accum_steps == 1:
         loss, per_path, new_stats, grads, sides = _ssl_grad_once(
@@ -404,18 +408,44 @@ def ssl_train_step(
         if factored:
             extra["fac_sides"] = sides
     else:
-        if batch["context1"].shape[0] % accum_steps:
-            raise ValueError(
-                f"batch size {batch['context1'].shape[0]} not divisible by "
-                f"accum_steps {accum_steps}"
-            )
+        if microbatch_fn is None:
+            if batch["context1"].shape[0] % accum_steps:
+                raise ValueError(
+                    f"batch size {batch['context1'].shape[0]} not divisible by "
+                    f"accum_steps {accum_steps}"
+                )
+            microbatch_fn = lambda i: slice_microbatch(batch, accum_steps, i)
         new_stats = state.batch_stats
         grads_sum = None
         loss_sum = 0.0
         per_path_sum = None
         sides_parts = []
         for i in range(accum_steps):
-            mb = slice_microbatch(batch, accum_steps, i)
+            mb = microbatch_fn(i)
+            if grads_sum is not None:
+                # Serialize the microbatches: tie this microbatch's inputs
+                # to the previous accumulator. Without the barrier nothing
+                # orders the two forwards (the accumulator add is the only
+                # join), XLA schedules them concurrently, and peak HBM
+                # approaches the unaccumulated step's — measured as an OOM
+                # at r50 b32 accum=2 that this barrier resolves. In
+                # factored mode the gate deliberately EXCLUDES the inter_
+                # grads (the zeroed dense head placeholders must stay dead
+                # — a barrier operand is materialized, and r50's are ~6 GB)
+                # and uses the factor sides to order the head backward
+                # instead; only the returned mb is kept, the gate values
+                # pass through unchanged.
+                gate = (
+                    {
+                        k: v
+                        for k, v in grads_sum.items()
+                        if not str(k).startswith("inter_")
+                    }
+                    if factored
+                    else grads_sum,
+                    sides_parts[-1] if factored else (),
+                )
+                mb, _ = jax.lax.optimization_barrier((mb, gate))
             loss_i, per_path_i, new_stats, grads_i, sides_i = _ssl_grad_once(
                 state, new_stats, mb, fuser_weights, factored
             )
@@ -520,9 +550,31 @@ def make_jitted_fused_step(config: SSLConfig, aug_cfg, mesh=None, donate: bool =
     accum = config.accum_steps
 
     def step(state, tiles_u8, key):
-        batch = make_ssl_views(key, tiles_u8, aug_cfg, shuffle_views=config.shuffle_views)
+        if accum == 1:
+            batch = make_ssl_views(
+                key, tiles_u8, aug_cfg, shuffle_views=config.shuffle_views
+            )
+            return ssl_train_step(state, batch, fuser_weights, factored=factored)
+        # Accumulation: build each microbatch's views on the fly from its
+        # slice of the raw uint8 tiles — the full-batch view stacks (~20x
+        # the tile bytes at scale 4) never materialize, so peak HBM under
+        # accumulation is one microbatch's, which is the point.
+        if tiles_u8.shape[0] % accum:
+            raise ValueError(
+                f"batch size {tiles_u8.shape[0]} not divisible by accum_steps {accum}"
+            )
+
+        def microbatch_fn(i):
+            mb = tiles_u8.shape[0] // accum
+            t = jax.lax.slice_in_dim(tiles_u8, i * mb, (i + 1) * mb, axis=0)
+            return make_ssl_views(
+                jax.random.fold_in(key, i), t, aug_cfg,
+                shuffle_views=config.shuffle_views,
+            )
+
         return ssl_train_step(
-            state, batch, fuser_weights, factored=factored, accum_steps=accum
+            state, None, fuser_weights, factored=factored,
+            accum_steps=accum, microbatch_fn=microbatch_fn,
         )
 
     kwargs = {}

@@ -147,6 +147,112 @@ class TestSSLAccum:
         assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
         assert_trees_close(s2.params, s1.params, rtol=1e-5, atol=1e-6)
 
+    def test_fused_step_builds_views_per_microbatch(self, monkeypatch):
+        """The fused aug+step path under accumulation slices the raw uint8
+        tiles and builds each microbatch's views inside the loop (the
+        full-batch view stacks never materialize — that is the HBM point
+        of accumulating). Semantics pinned: microbatch i uses views made
+        with fold_in(key, i) on tiles slice i, gradients averaged, one
+        update (SGD so the check is tight).
+
+        The real aug pipeline is swapped for an exact-arithmetic stub
+        (slices + one multiply + key-derived scalars/permutations): the
+        SimSiam projector BNs make the loss chaotic in float noise at toy
+        scale (worst with 2-sample microbatches, where a BN sees 2-point
+        variances), so any through-the-real-pipeline comparison across
+        two separately compiled programs is meaningless. With bit-exact
+        views and 4-sample microbatches the measured fused-vs-oracle gap
+        is ~2e-6 on the loss / ~5e-5 on params; tolerances are 10x that.
+        View-level cross-compilation reproducibility of the real pipeline
+        is pinned separately
+        (test_augment.py::test_ssl_views_deterministic_across_fusion_contexts);
+        this test pins the accumulation plumbing around it."""
+        import optax
+
+        from msfwsi_tpu.data import pipeline as P
+
+        cfg = tiny_config(batch_size=8, accum_steps=2)
+        aug_cfg = P.AugConfig(img_size=32, grid=2, tile_px=32)
+        rng = np.random.default_rng(23)
+        tiles = jnp.asarray(rng.integers(0, 255, size=(8, 64, 64, 3), dtype=np.uint8))
+        key = jax.random.key(42)
+        tx = optax.sgd(0.1)
+        state = S.create_ssl_state(jax.random.key(6), cfg)
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
+        fw = tuple(cfg.fuser_weights)
+
+        def stub_views(vkey, tiles_u8, vcfg, shuffle_views=True):
+            # Exact ops only (stride slices, one multiply, integer perms),
+            # so the views are bit-identical in every compilation context;
+            # key- and slice-dependent, so wrong fold_in/slicing plumbing
+            # changes them by O(1).
+            B = tiles_u8.shape[0]
+            K, s = vcfg.grid**2, vcfg.img_size
+            x = tiles_u8[:, ::2, ::2, :].astype(jnp.float32) / 255.0
+            u = 0.5 + jax.random.uniform(vkey, (4,))
+            t = (  # the four quadrants as target tiles (exact reshape)
+                tiles_u8.reshape(B, 2, s, 2, s, 3)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(B * K, s, s, 3)
+                .astype(jnp.float32)
+                / 255.0
+            )
+            perm = jax.vmap(lambda kk: jax.random.permutation(kk, K))(
+                jax.random.split(vkey, B)
+            )
+            t1, t2 = S.target_keys(shuffle_views)
+            rev = jnp.argsort(perm, axis=1)
+            return {
+                "context1": x * u[0],
+                "context2": x * u[1],
+                t1: t * u[2],
+                t2: t * u[3],
+                "rev1": rev,
+                "rev2": rev,
+            }
+
+        # make_jitted_fused_step binds pipeline.make_ssl_views at call time.
+        monkeypatch.setattr(P, "make_ssl_views", stub_views)
+
+        s2, m2 = S.make_jitted_fused_step(cfg, aug_cfg, donate=False)(
+            state, tiles, key
+        )
+
+        @jax.jit
+        def oracle(params, stats0):
+            stats = stats0
+            grads, losses = [], []
+            for i in range(2):
+                views = stub_views(
+                    jax.random.fold_in(key, i),
+                    jax.lax.slice_in_dim(tiles, 4 * i, 4 * (i + 1), axis=0),
+                    aug_cfg,
+                    shuffle_views=cfg.shuffle_views,
+                )
+                (loss, (_, stats, _)), g = jax.value_and_grad(
+                    lambda p, s=stats, v=views: S.ssl_loss_fn(
+                        state.model, p, s, v, fw
+                    ),
+                    has_aux=True,
+                )(params)
+                grads.append(g)
+                losses.append(loss)
+            mean_g = jax.tree.map(lambda a, b: (a + b) / 2.0, *grads)
+            return (
+                jax.tree.map(lambda p, g: p - 0.1 * g, params, mean_g),
+                stats,
+                (losses[0] + losses[1]) / 2.0,
+            )
+
+        oracle_params, oracle_stats, oracle_loss = oracle(
+            state.params, state.batch_stats
+        )
+        assert float(m2["loss"]) == pytest.approx(
+            float(oracle_loss), rel=1e-3, abs=2e-5
+        )
+        assert_trees_close(s2.params, oracle_params, rtol=1e-3, atol=5e-4)
+        assert_trees_close(s2.batch_stats, oracle_stats, rtol=1e-2, atol=1e-3)
+
     def test_indivisible_batch_raises(self):
         cfg = tiny_config(accum_steps=3)
         state = S.create_ssl_state(jax.random.key(0), cfg)
