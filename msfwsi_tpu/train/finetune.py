@@ -233,7 +233,13 @@ def finetune_train_step(
         inv = 1.0 / accum_steps
         grads = jax.tree.map(lambda g: g * inv, grads_sum)
         loss = loss_sum * inv
-        tgt_logits = jnp.concatenate(logits_parts, axis=0)
+        # Invert the interleaved microbatch partition (microbatch i holds
+        # samples with index % accum == i, see ssl.slice_microbatch) so the
+        # logits line up with batch["target_mask"]'s original sample order
+        # for the train metrics below.
+        tgt_logits = jnp.stack(logits_parts, axis=1).reshape(
+            (-1,) + logits_parts[0].shape[1:]
+        )
     updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     new_state = state.replace(

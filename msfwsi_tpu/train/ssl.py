@@ -352,14 +352,31 @@ def _ssl_grad_once(state, batch_stats, batch, fuser_weights, factored):
 
 
 def slice_microbatch(batch, accum_steps: int, i: int):
-    """The i-th of ``accum_steps`` equal leading-axis slices of every array
-    in ``batch``. Per-sample axes (B) and flattened tile axes (B*K, sample-
-    major) both split on whole samples this way; under a batch-sharded mesh
-    each slice keeps the "data"-axis sharding."""
+    """The i-th of ``accum_steps`` microbatches: the samples whose global
+    sample index satisfies ``index % accum_steps == i``, for every array in
+    ``batch`` (a pytree; leading axes are B or sample-major B*K — the
+    per-sample factor is inferred as ``shape[0] // min(shape[0])``).
+
+    The interleaved partition (vs contiguous B/accum blocks) is what keeps
+    the slices LOCAL under a "data"-sharded batch: every device's
+    contiguous shard contributes shard/accum samples to each microbatch,
+    so the slice lowers to a reshape + static index with no cross-device
+    movement. A contiguous half-batch would live on half the mesh and
+    GSPMD rebalances it with collective-permutes every microbatch
+    (measured: 57 collective-permutes in the accum=2 fused SSL step on an
+    8-device mesh with contiguous slices, 0 interleaved). Microbatch
+    composition is an implementation detail — samples are iid draws from
+    the loader — but it is part of the step's numeric contract, so the
+    tests' oracles build microbatches with this same function. Local
+    slicing additionally needs ``accum_steps`` to divide the per-device
+    shard; GSPMD still compiles (with movement) when it does not."""
+    B = min(a.shape[0] for a in jax.tree.leaves(batch))
 
     def sl(a):
-        mb = a.shape[0] // accum_steps
-        return jax.lax.slice_in_dim(a, i * mb, (i + 1) * mb, axis=0)
+        m = a.shape[0] // B
+        rest = a.shape[1:]
+        out = a.reshape(B // accum_steps, accum_steps, m, *rest)[:, i]
+        return out.reshape((B // accum_steps) * m, *rest)
 
     return jax.tree.map(sl, batch)
 
@@ -392,8 +409,8 @@ def ssl_train_step(
     materialize dense gradients (train/factored.py); the unused autodiff
     dW dots are dead code XLA eliminates.
 
-    ``accum_steps > 1`` runs that many sequential microbatches (equal
-    leading-axis slices of ``batch``, or ``microbatch_fn(i)`` if given —
+    ``accum_steps > 1`` runs that many sequential microbatches (interleaved
+    sample partitions of ``batch``, or ``microbatch_fn(i)`` if given —
     the fused aug path uses it to build each microbatch's views on the
     fly instead of materializing the full-batch views up front) and
     applies one optimizer update on the averaged gradient — see
@@ -565,8 +582,9 @@ def make_jitted_fused_step(config: SSLConfig, aug_cfg, mesh=None, donate: bool =
             )
 
         def microbatch_fn(i):
-            mb = tiles_u8.shape[0] // accum
-            t = jax.lax.slice_in_dim(tiles_u8, i * mb, (i + 1) * mb, axis=0)
+            # Interleaved sample partition (see slice_microbatch) — local
+            # under a "data"-sharded tile batch.
+            t = slice_microbatch(tiles_u8, accum, i)
             return make_ssl_views(
                 jax.random.fold_in(key, i), t, aug_cfg,
                 shuffle_views=config.shuffle_views,

@@ -7,10 +7,12 @@ has none; it makes the published global batches, e.g. resnet50 -b 32, fit
 small-HBM chips).
 
 Key identity used throughout: BN train-mode normalization depends only on
-the microbatch's own statistics, so with a duplicated-halves batch
-``[b; b]`` every microbatch gradient equals the plain gradient of ``b`` —
-the accumulated update must match the unaccumulated update on ``b``
-exactly (only the BN *running* stats see two momentum updates).
+the microbatch's own statistics, so with every sample duplicated
+adjacently (``duplicate_batch``) each of the two interleaved microbatches
+(``slice_microbatch``: microbatch i = samples with index % accum == i)
+equals the original batch ``b`` — the accumulated update must match the
+unaccumulated update on ``b`` exactly (only the BN *running* stats see
+two momentum updates).
 """
 
 import numpy as np
@@ -46,8 +48,21 @@ def random_batch(config, B, seed=0):
 
 
 def duplicate_batch(batch):
-    """[b; b] along the sample-major leading axis of every array."""
-    return jax.tree.map(lambda a: jnp.concatenate([a, a], axis=0), batch)
+    """Duplicate every sample adjacently (sample-interleaved), so that the
+    interleaved microbatch partition (``slice_microbatch``: microbatch i =
+    samples with index % accum == i) of the doubled batch at accum=2
+    reproduces the original batch in both microbatches. Handles sample-
+    major B*K axes via the inferred per-sample factor."""
+    B = min(a.shape[0] for a in jax.tree.leaves(batch))
+
+    def dup(a):
+        m = a.shape[0] // B
+        rest = a.shape[1:]
+        g = a.reshape(B, 1, m, *rest)
+        g = jnp.broadcast_to(g, (B, 2, m) + tuple(rest))
+        return g.reshape(2 * B * m, *rest)
+
+    return jax.tree.map(dup, batch)
 
 
 def assert_trees_close(a, b, rtol=1e-6, atol=1e-6):
@@ -68,9 +83,9 @@ def assert_trees_close(a, b, rtol=1e-6, atol=1e-6):
 
 class TestSSLAccum:
     def test_duplicated_halves_match_unaccumulated(self):
-        """accum=2 on [b; b] must produce the same params and loss as
-        accum=1 on b (identical microbatch gradients average to
-        themselves)."""
+        """accum=2 on the adjacent-duplicated batch must produce the same
+        params and loss as accum=1 on b (each interleaved microbatch IS b,
+        so identical microbatch gradients average to themselves)."""
         cfg1 = tiny_config()
         cfg2 = tiny_config(accum_steps=2)
         state = S.create_ssl_state(jax.random.key(0), cfg1)
@@ -132,8 +147,8 @@ class TestSSLAccum:
     def test_fused_adafactor_accum_duplicated_halves(self):
         """The fused outer-product path under accumulation: the (X, dY)
         factor sides are concatenated across microbatches with dY scaled by
-        1/accum — on [b; b] this must equal the unaccumulated fused step on
-        b. Also proves the dense dW dots stay dead (the zeroed accumulator
+        1/accum — on the adjacent-duplicated batch this must equal the
+        unaccumulated fused step on b. Also proves the dense dW dots stay dead (the zeroed accumulator
         feeds nothing)."""
         cfg1 = tiny_config(batch_size=4, inter_opt="fused_adafactor")
         cfg2 = tiny_config(batch_size=4, inter_opt="fused_adafactor", accum_steps=2)
@@ -225,7 +240,7 @@ class TestSSLAccum:
             for i in range(2):
                 views = stub_views(
                     jax.random.fold_in(key, i),
-                    jax.lax.slice_in_dim(tiles, 4 * i, 4 * (i + 1), axis=0),
+                    S.slice_microbatch(tiles, 2, i),
                     aug_cfg,
                     shuffle_views=cfg.shuffle_views,
                 )
@@ -316,9 +331,10 @@ class TestFinetuneAccum:
         )
         assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
         assert_trees_close(s2.params, s1.params)
-        # Per-sample train metrics keep the (N, C) contract: the duplicated
-        # halves produce duplicated rows.
+        # Per-sample train metrics keep the (N, C) contract in the
+        # original (doubled) batch order: adjacent duplicates produce
+        # adjacent duplicate rows.
         for k in ("tp", "fp", "fn", "tn"):
             assert m2[k].shape[0] == 8
-            np.testing.assert_array_equal(np.asarray(m2[k][:4]), np.asarray(m1[k]))
-            np.testing.assert_array_equal(np.asarray(m2[k][4:]), np.asarray(m1[k]))
+            np.testing.assert_array_equal(np.asarray(m2[k][0::2]), np.asarray(m1[k]))
+            np.testing.assert_array_equal(np.asarray(m2[k][1::2]), np.asarray(m1[k]))
