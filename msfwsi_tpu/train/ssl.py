@@ -556,10 +556,21 @@ def load_imagenet_encoders(state: SSLTrainState, torch_state_dict: dict) -> SSLT
     )
 
 
-def make_jitted_fused_step(config: SSLConfig, aug_cfg, mesh=None, donate: bool = True):
+def make_jitted_fused_step(
+    config: SSLConfig,
+    aug_cfg,
+    mesh=None,
+    donate: bool = True,
+    model_parallel: bool = False,
+):
     """One jit: on-device augmentation (uint8 tiles -> 4 views + jigsaw) +
     train step. Avoids materializing augmented views in HBM between two
-    dispatches and lets XLA overlap aug (VPU) with the encoder (MXU)."""
+    dispatches and lets XLA overlap aug (VPU) with the encoder (MXU).
+
+    With ``model_parallel`` the state is expected to be pre-placed (fuser
+    heads split over "model" via ``parallel.tp.shard_ssl_state``) and the
+    uint8 tiles pre-sharded over "data"; shardings are inferred from the
+    argument placements, exactly as in :func:`make_jitted_train_step`."""
     from ..data.pipeline import make_ssl_views
 
     fuser_weights = tuple(config.fuser_weights)
@@ -596,7 +607,7 @@ def make_jitted_fused_step(config: SSLConfig, aug_cfg, mesh=None, donate: bool =
         )
 
     kwargs = {}
-    if mesh is not None:
+    if mesh is not None and not model_parallel:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
