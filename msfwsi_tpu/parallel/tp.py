@@ -62,6 +62,26 @@ def shard_ssl_state(state, mesh: Mesh):
     batch_stats = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl), state.batch_stats
     )
-    # zeros_like under the placed params keeps their shardings.
-    opt_state = state.tx.init(params)
-    return state.replace(params=params, batch_stats=batch_stats, opt_state=opt_state)
+    # zeros_like under the placed params keeps their shardings — use the
+    # freshly initialized tree as a placement template and transfer the
+    # state's actual values onto it (a restored state carries real Adam
+    # moments that must survive the re-placement).
+    template = state.tx.init(params)
+
+    def _place(t, v):
+        # Param-shaped moments inherit the param placement (zeros_like under
+        # NamedSharding); freshly created scalars (e.g. Adam's count) come
+        # out single-device — replicate those over the mesh.
+        s = t.sharding if isinstance(t.sharding, NamedSharding) else repl
+        return jax.device_put(v, s)
+
+    opt_state = jax.tree.map(_place, template, state.opt_state)
+    # Replicate the scalar leaves too: a state restored from a checkpoint
+    # holds *committed* single-device arrays (e.g. step), which jit refuses
+    # to mix with mesh-placed params.
+    return state.replace(
+        step=jax.device_put(state.step, repl),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+    )

@@ -607,13 +607,19 @@ def make_jitted_fused_step(
         )
 
     kwargs = {}
-    if mesh is not None and not model_parallel:
+    if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        kwargs["in_shardings"] = (repl, data, repl)
-        kwargs["out_shardings"] = (repl, repl)
+        if model_parallel:
+            # State shardings come from its placement (fuser heads on
+            # "model"); tiles and key are pinned so uncommitted host
+            # arrays land correctly.
+            kwargs["in_shardings"] = (None, data, repl)
+        else:
+            kwargs["in_shardings"] = (repl, data, repl)
+            kwargs["out_shardings"] = (repl, repl)
     if donate:
         kwargs["donate_argnums"] = (0,)
     return jax.jit(step, **kwargs)

@@ -171,6 +171,55 @@ class TestMultiDevice:
             float(ref_metrics["loss"]), rel=1e-4, abs=1e-5
         )
 
+    def test_shard_ssl_state_after_restore(self, tmp_path):
+        """shard_ssl_state must handle a checkpoint-restored state: Orbax
+        returns *committed* single-device arrays (step, Adam counts), which
+        jit refuses to mix with mesh-placed params unless every leaf is
+        re-placed — and the restored Adam moments must survive the
+        re-placement (regression: an early version rebuilt opt_state with
+        tx.init, silently zeroing the moments on a TP resume)."""
+        from jax.sharding import NamedSharding
+
+        from msfwsi_tpu.parallel.tp import shard_ssl_state
+        from msfwsi_tpu.train import checkpoint as C
+
+        config = tiny_config(batch_size=8)
+        state = S.create_ssl_state(jax.random.key(0), config)
+        batch = random_batch(config, B=8)
+        # One step so the Adam moments are nonzero before the round trip.
+        state, _ = S.make_jitted_train_step(config, donate=False)(state, batch)
+
+        path = C.save_train_state(str(tmp_path), state, epoch=0, block=True)
+        restored = C.restore_train_state(
+            path, S.create_ssl_state(jax.random.key(1), config)
+        )
+
+        mesh = make_mesh(MeshSpec(data=4, model=2), devices=jax.devices()[:8])
+        tp_state = shard_ssl_state(restored, mesh)
+
+        # Every leaf is mesh-placed (no committed single-device leftovers).
+        for leaf in jax.tree_util.tree_leaves(
+            (tp_state.step, tp_state.params, tp_state.batch_stats, tp_state.opt_state)
+        ):
+            assert isinstance(leaf.sharding, NamedSharding), leaf
+            assert leaf.sharding.mesh == mesh
+        # The restored moments survived the re-placement.
+        for placed, orig in zip(
+            jax.tree_util.tree_leaves(tp_state.opt_state),
+            jax.tree_util.tree_leaves(state.opt_state),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(placed), np.asarray(orig), rtol=0, atol=0
+            )
+        assert int(tp_state.step) == 1
+
+        # And the TP train step accepts it.
+        tp_step = S.make_jitted_train_step(
+            config, mesh=mesh, donate=False, model_parallel=True
+        )
+        _, metrics = tp_step(tp_state, shard_batch(mesh, batch))
+        assert np.isfinite(float(metrics["loss"]))
+
     def test_sharded_step_runs_and_matches_single(self):
         assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
         config = tiny_config(batch_size=8)

@@ -54,13 +54,16 @@ def main_worker(args):
     logger.info(" ".join([sys.executable, *sys.argv]))
     warn_noop_flags(args, {a.dest: a.default for a in PARSER._actions})
 
-    mesh = make_mesh(MeshSpec())
-    n_dev = mesh.devices.size
-    logger.info(f"=> mesh: {n_dev} device(s) on axis 'data' ({jax.devices()[0].platform})")
-    if args.batch_size % n_dev:
+    mesh = make_mesh(MeshSpec(model=args.model_parallel))
+    n_data = mesh.shape["data"]
+    logger.info(
+        f"=> mesh: {n_data} device(s) on axis 'data' x "
+        f"{mesh.shape['model']} on 'model' ({jax.devices()[0].platform})"
+    )
+    if args.batch_size % n_data:
         logger.error(
             f"=> global batch {args.batch_size} must be divisible by the "
-            f"{n_dev}-device data axis"
+            f"{n_data}-device data axis"
         )
         sys.exit(1)
 
@@ -225,7 +228,19 @@ def main_worker(args):
         else:
             logger.info(f"=> no checkpoint found at '{args.resume}'")
 
-    step_fn = S.make_jitted_fused_step(config, aug_cfg, mesh=mesh)
+    if args.model_parallel > 1:
+        # Fuser heads split over the "model" axis (resnet50 at scale 4 has
+        # ~1.58B head params — beyond one small-HBM chip replicated). Pure
+        # GSPMD placement: shard after any init/resume replaced the params.
+        from msfwsi_tpu.parallel.tp import shard_ssl_state
+
+        state = shard_ssl_state(state, mesh)
+        logger.info(
+            f"=> fuser heads tensor-parallel over {args.model_parallel} devices"
+        )
+    step_fn = S.make_jitted_fused_step(
+        config, aug_cfg, mesh=mesh, model_parallel=args.model_parallel > 1
+    )
     base_key = jax.random.key(config.seed)
 
     tb_writer = None
@@ -432,6 +447,10 @@ def build_parser():
                         help="target sub-tile size before per-tile RRC (reference: 256)")
     parser.add_argument("--profile-steps", type=int, default=0,
                         help="trace the first N steps with jax.profiler into <log-dir>/profile")
+    parser.add_argument("--model-parallel", type=int, default=1,
+                        help="size of the 'model' mesh axis: fuser-head tensor "
+                             "parallelism (parallel/tp.py); device count must be "
+                             "divisible by it")
     parser.add_argument("--allow-random-init", action="store_true",
                         help="proceed from random init when ImageNet weights "
                         "cannot be resolved (default: hard error, since the "
