@@ -54,7 +54,11 @@ def main_worker(args):
     logger.info(" ".join([sys.executable, *sys.argv]))
     warn_noop_flags(args, {a.dest: a.default for a in PARSER._actions})
 
-    mesh = make_mesh(MeshSpec(model=args.model_parallel))
+    try:
+        mesh = make_mesh(MeshSpec(model=args.model_parallel))
+    except ValueError as e:
+        logger.error(f"=> bad --model-parallel {args.model_parallel}: {e}")
+        sys.exit(1)
     n_data = mesh.shape["data"]
     logger.info(
         f"=> mesh: {n_data} device(s) on axis 'data' x "
