@@ -50,8 +50,10 @@ class MeshSpec:
 
     def resolve(self, n_devices: int) -> tuple[int, int]:
         model = self.model
+        if model < 1:
+            raise ValueError(f"model axis size must be >= 1, got {model}")
         data = self.data if self.data != -1 else n_devices // model
-        if data * model != n_devices:
+        if data < 1 or data * model != n_devices:
             raise ValueError(
                 f"mesh {data}x{model} does not cover {n_devices} devices"
             )

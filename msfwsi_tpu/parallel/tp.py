@@ -10,19 +10,48 @@ dims made resnet50 impossible anyway, ``backbone.py:67``.)
 GSPMD makes sharding these declarative: place every fuser ``Dense`` kernel
 with its wide dimension split over the "model" mesh axis and let XLA insert
 the collectives. No model-code changes — the sharding lives purely in where
-the parameter arrays are placed (jit infers the rest, and optimizer moments
-created with ``zeros_like`` inherit the placement).
+the arrays are placed (jit infers the rest). The same path rule covers the
+optimizer moments: any leaf whose tree path passes through an ``inter_*``
+name (Adam m/v, Adafactor row/column factors) follows its parameter's
+placement; everything else is replicated.
 """
 
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import MODEL_AXIS
 
-__all__ = ["ssl_param_shardings", "shard_ssl_state"]
+__all__ = [
+    "ssl_param_shardings",
+    "state_shardings",
+    "shard_ssl_state",
+    "create_sharded_ssl_state",
+]
+
+
+def _path_names(path) -> list[str]:
+    # DictKey has .key, GetAttrKey has .name, SequenceKey stringifies.
+    return [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+
+
+def _spec_for(names: list[str], leaf, n_model: int) -> P:
+    """Placement rule for one leaf: under an ``inter_*`` path, split Dense
+    kernels column-parallel (else row-parallel) and divisible vectors
+    (biases, Adafactor factors) over "model"; everything else replicated.
+    Works on concrete arrays and on ``jax.eval_shape`` structs alike (only
+    ``ndim``/``shape`` are read)."""
+    if not any(n.startswith("inter_") for n in names):
+        return P()
+    if leaf.ndim == 2 and names[-1] == "kernel":
+        if leaf.shape[1] % n_model == 0:
+            return P(None, MODEL_AXIS)
+        if leaf.shape[0] % n_model == 0:
+            return P(MODEL_AXIS, None)
+    elif leaf.ndim == 1 and leaf.shape[0] % n_model == 0:
+        return P(MODEL_AXIS)
+    return P()
 
 
 def ssl_param_shardings(params, mesh: Mesh):
@@ -30,58 +59,54 @@ def ssl_param_shardings(params, mesh: Mesh):
     kernels/vectors split over "model" where divisible; everything else
     replicated."""
     n_model = mesh.shape[MODEL_AXIS]
-
-    def spec_for(path, leaf):
-        names = [getattr(p, "key", str(p)) for p in path]
-        if not names or not names[0].startswith("inter_"):
-            return P()
-        if leaf.ndim == 2 and names[-1] == "kernel":
-            # Split the output dim (column-parallel) when divisible, else the
-            # input dim (row-parallel), else replicate.
-            if leaf.shape[1] % n_model == 0:
-                return P(None, MODEL_AXIS)
-            if leaf.shape[0] % n_model == 0:
-                return P(MODEL_AXIS, None)
-        elif leaf.ndim == 1 and leaf.shape[0] % n_model == 0:
-            return P(MODEL_AXIS)
-        return P()
-
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params
+        lambda path, leaf: NamedSharding(
+            mesh, _spec_for(_path_names(path), leaf, n_model)
+        ),
+        params,
+    )
+
+
+def state_shardings(state, mesh: Mesh):
+    """NamedSharding tree for a whole SSL train state (step, params,
+    batch_stats, opt_state) — accepts a concrete state or its
+    ``jax.eval_shape``. Optimizer moments are matched to their parameters
+    by the same ``inter_*`` path rule (their paths end with the parameter's
+    path), so no template state is ever materialized."""
+    n_model = mesh.shape[MODEL_AXIS]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, _spec_for(_path_names(path), leaf, n_model)
+        ),
+        state,
     )
 
 
 def shard_ssl_state(state, mesh: Mesh):
     """Place an SSL train state for (data, model) execution: fuser weights
-    model-sharded, everything else replicated; optimizer moments rebuilt so
-    they inherit the weight placements."""
-    shardings = ssl_param_shardings(state.params, mesh)
-    params = jax.tree_util.tree_map(jax.device_put, state.params, shardings)
+    and their optimizer moments model-sharded, everything else replicated.
 
-    repl = NamedSharding(mesh, P())
-    batch_stats = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, repl), state.batch_stats
-    )
-    # zeros_like under the placed params keeps their shardings — use the
-    # freshly initialized tree as a placement template and transfer the
-    # state's actual values onto it (a restored state carries real Adam
-    # moments that must survive the re-placement).
-    template = state.tx.init(params)
+    Every leaf is re-placed — a state restored from a checkpoint holds
+    *committed* single-device arrays (step, Adam counts) that jit refuses
+    to mix with mesh-placed params — and values are moved, never rebuilt,
+    so restored optimizer moments survive a TP resume intact."""
+    shardings = state_shardings(state, mesh)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)
 
-    def _place(t, v):
-        # Param-shaped moments inherit the param placement (zeros_like under
-        # NamedSharding); freshly created scalars (e.g. Adam's count) come
-        # out single-device — replicate those over the mesh.
-        s = t.sharding if isinstance(t.sharding, NamedSharding) else repl
-        return jax.device_put(v, s)
 
-    opt_state = jax.tree.map(_place, template, state.opt_state)
-    # Replicate the scalar leaves too: a state restored from a checkpoint
-    # holds *committed* single-device arrays (e.g. step), which jit refuses
-    # to mix with mesh-placed params.
-    return state.replace(
-        step=jax.device_put(state.step, repl),
-        params=params,
-        batch_stats=batch_stats,
-        opt_state=opt_state,
-    )
+def create_sharded_ssl_state(rng, config, mesh: Mesh):
+    """Initialize an SSL train state directly under its TP placements: the
+    init is traced abstractly first (``jax.eval_shape`` — no allocation),
+    the placement tree derived from it, and the real init jitted with those
+    ``out_shardings`` — so the fuser heads and their optimizer state are
+    *born* distributed. With resnet50's ~1.58B-param heads, the
+    materialize-then-reshard alternative would exceed a small-HBM chip
+    before the re-placement could run."""
+    from ..train import ssl as S
+
+    def init(key):
+        return S.create_ssl_state(key, config)
+
+    abstract = jax.eval_shape(init, rng)
+    shardings = state_shardings(abstract, mesh)
+    return jax.jit(init, out_shardings=shardings)(rng)

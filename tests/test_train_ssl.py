@@ -171,6 +171,68 @@ class TestMultiDevice:
             float(ref_metrics["loss"]), rel=1e-4, abs=1e-5
         )
 
+    def test_meshspec_rejects_bad_model_axis(self):
+        with pytest.raises(ValueError):
+            MeshSpec(model=0).resolve(8)
+        with pytest.raises(ValueError):
+            MeshSpec(model=-2).resolve(8)
+        with pytest.raises(ValueError):
+            MeshSpec(model=3).resolve(8)
+        assert MeshSpec(model=2).resolve(8) == (4, 2)
+
+    def test_create_sharded_ssl_state_born_distributed(self):
+        """The CLI's TP init: state comes out of the jitted init already
+        under its placements (fuser kernels AND their Adam moments split
+        over "model"), identical placements to materialize-then-reshard,
+        and the TP step accepts it."""
+        from jax.sharding import NamedSharding
+
+        from msfwsi_tpu.parallel.tp import (
+            create_sharded_ssl_state,
+            shard_ssl_state,
+            state_shardings,
+        )
+
+        config = tiny_config(batch_size=8)
+        mesh = make_mesh(MeshSpec(data=4, model=2), devices=jax.devices()[:8])
+        state = create_sharded_ssl_state(jax.random.key(0), config, mesh)
+
+        # Same placements as the re-placement path, on every leaf.
+        expected = state_shardings(state, mesh)
+        for leaf, want in zip(
+            jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(expected)
+        ):
+            assert isinstance(leaf.sharding, NamedSharding)
+            assert leaf.sharding == want, (leaf.sharding, want)
+        # The wide fuser kernel and its Adam moment are genuinely split.
+        k = state.params["inter_projector_3"]["fc1"]["kernel"]
+        assert "model" in tuple(k.sharding.spec)
+        moments = [
+            leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(state.opt_state)[0]
+            if any("inter_projector_3" in str(p) for p in path)
+            and leaf.ndim == 2
+        ]
+        assert moments and all("model" in tuple(m.sharding.spec) for m in moments)
+        # And the values match the unsharded init bit-for-bit.
+        ref = S.create_ssl_state(jax.random.key(0), config)
+        np.testing.assert_array_equal(
+            np.asarray(k), np.asarray(ref.params["inter_projector_3"]["fc1"]["kernel"])
+        )
+
+        tp_step = S.make_jitted_train_step(
+            config, mesh=mesh, donate=False, model_parallel=True
+        )
+        _, metrics = tp_step(state, shard_batch(mesh, random_batch(config, B=8)))
+        assert np.isfinite(float(metrics["loss"]))
+
+        # shard_ssl_state of the reference init lands on the same placements.
+        resharded = shard_ssl_state(ref, mesh)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(resharded), jax.tree_util.tree_leaves(state)
+        ):
+            assert a.sharding == b.sharding
+
     def test_shard_ssl_state_after_restore(self, tmp_path):
         """shard_ssl_state must handle a checkpoint-restored state: Orbax
         returns *committed* single-device arrays (step, Adam counts), which

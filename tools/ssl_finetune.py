@@ -186,6 +186,14 @@ def main_worker(args):
             f"=> batch {args.batch_size} not divisible by {n_dev} devices; "
             "running single-device"
         )
+    shard_b = args.batch_size // (n_dev if multi else 1)
+    if args.accum_steps > 1 and shard_b % args.accum_steps:
+        # Interleaved microbatch slices must stay shard-local (train/ssl.py:366).
+        logger.error(
+            f"=> per-shard batch {shard_b} must be divisible by "
+            f"--accum-steps {args.accum_steps}"
+        )
+        sys.exit(1)
     from msfwsi_tpu.parallel import batch_sharding
 
     loader = L.TileBatchLoader(

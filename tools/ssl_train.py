@@ -70,6 +70,15 @@ def main_worker(args):
             f"{n_data}-device data axis"
         )
         sys.exit(1)
+    if args.accum_steps > 1 and (args.batch_size // n_data) % args.accum_steps:
+        # slice_microbatch's interleaved partition is only shard-local when
+        # accum divides the per-shard batch — otherwise GSPMD rebalances
+        # every microbatch with collective-permutes (train/ssl.py:366).
+        logger.error(
+            f"=> per-shard batch {args.batch_size // n_data} must be "
+            f"divisible by --accum-steps {args.accum_steps}"
+        )
+        sys.exit(1)
 
     if args.amp:
         logger.info("=> bf16 mixed precision enabled (no GradScaler needed on TPU)")
@@ -169,7 +178,16 @@ def main_worker(args):
     logger.info(f"=> Size of data: {len(files)}, steps per epoch: {len(loader)}")
 
     # ---- state ----------------------------------------------------------
-    state = S.create_ssl_state(jax.random.key(config.seed), config)
+    if args.model_parallel > 1:
+        # Born distributed: with TP requested, init directly under the
+        # fuser-head placements — materialize-then-reshard would blow a
+        # small-HBM chip on exactly the models TP exists for (resnet50's
+        # ~1.58B-param heads + their optimizer state).
+        from msfwsi_tpu.parallel.tp import create_sharded_ssl_state
+
+        state = create_sharded_ssl_state(jax.random.key(config.seed), config, mesh)
+    else:
+        state = S.create_ssl_state(jax.random.key(config.seed), config)
     # ImageNet init is the reference default (backbone.py:58-63 always builds
     # encoders with pretrained=True); --imagenet-weights none opts out.
     if args.imagenet_weights != "none":
