@@ -159,7 +159,7 @@ def eval_e2e_bench(arch, tiles_per_slide, iters, warmup, rng):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     cfg = AugConfig()
     C = len(config.class_names)
-    stats_fn = EV.make_chunk_stats_hostviews(state.model, C, chunk=128, cfg=cfg)
+    stats_fn = EV.make_chunk_stats_hostviews(state.model, C, cfg=cfg)
 
     # Textured synthetic tissue tiles (not pure random): the axon tunnel
     # compresses transfers, and real H&E tiles compress — pure noise would

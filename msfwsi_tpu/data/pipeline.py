@@ -218,7 +218,10 @@ def _resize_u8_host_np(img: "np.ndarray", out: int) -> "np.ndarray":
     x = img.astype(np.float32)
     rows = x[ylo] * (1.0 - yf)[:, None, None] + x[yhi] * yf[:, None, None]
     cols = rows[:, xlo] * (1.0 - xf)[None, :, None] + rows[:, xhi] * xf[None, :, None]
-    return np.clip(np.round(cols), 0, 255).astype(np.uint8)
+    # Round half UP like cv2's fixed-point uint8 path ((v + (1<<(b-1))) >> b);
+    # np.round's half-to-even would differ by 1 on exact .5 ties, which 2-tap
+    # bilinear hits systematically at dyadic fractions on integer inputs.
+    return np.clip(np.floor(cols + 0.5), 0, 255).astype(np.uint8)
 
 
 def make_seg_val_views_host(imgs_u8, masks, cfg: AugConfig = AugConfig(), num_threads: int = 8):

@@ -350,7 +350,14 @@ class UnetDecoder(nn.Module):
             x = jnp.concatenate([x, context_feats.astype(x.dtype)], axis=-1)
 
         if self.packed_tail and self.export_block is not None:
-            assert self.export_block < self.packed_from, "hook export must be logical"
+            # User-config validation must survive python -O: a packed hook
+            # export would compute the H/4 crop on the (h/2, w/2, 4C) packed
+            # tensor and deliver a wrong-layout hook into the target branch.
+            if self.export_block >= self.packed_from:
+                raise ValueError(
+                    f"hook export block {self.export_block} must run in the "
+                    f"logical domain (packed_from={self.packed_from})"
+                )
 
         exported = None
         packed = False

@@ -180,7 +180,7 @@ class _BNState(nn.Module):
         return bn_fold(mean, var, scale, bias, self.epsilon)
 
 
-def _dot_bn(x, w2d, dtype, ab=None, residual=None):
+def _dot_bn(x, w2d, dtype, ab=None):
     """1x1 conv as a dot with the *previous* BN folded into an elementwise
     prologue and this conv's BN statistics as a reduce epilogue.
 
@@ -208,10 +208,7 @@ def _dot_bn(x, w2d, dtype, ab=None, residual=None):
     relayout copies around every block (trace: bare ``reshape.NNNN`` ops).
     """
     if ab is not None:
-        xf = x.astype(jnp.float32) * ab[0] + ab[1]
-        if residual is not None:
-            xf = xf + residual.astype(jnp.float32)
-        x = jnp.maximum(xf, 0.0)
+        x = jnp.maximum(x.astype(jnp.float32) * ab[0] + ab[1], 0.0)
     y = jnp.einsum("bhwc,cd->bhwd", x.astype(dtype), w2d.astype(dtype))
     yf = y.astype(jnp.float32)
     stats = jnp.stack([jnp.sum(yf, (0, 1, 2)), jnp.sum(yf * yf, (0, 1, 2))])
@@ -346,11 +343,26 @@ class Bottleneck(nn.Module):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         Cout = self.planes * self.expansion
         dtype = self.dtype
+        # Honor the block's norm configuration: the unfused path routes
+        # bn_momentum/bn_epsilon through the `norm` partial, so the fused
+        # twin must read them from the same place or its running-stat
+        # trajectories silently diverge from the contract it documents.
+        norm_fn = self.norm.func if isinstance(self.norm, functools.partial) else self.norm
+        if norm_fn not in (nn.BatchNorm, BatchNormNamedStats):
+            raise ValueError(
+                f"fused_bn supports BatchNorm-family norms only, got {norm_fn}"
+            )
+        norm_kw = self.norm.keywords if isinstance(self.norm, functools.partial) else {}
+        BNS = functools.partial(
+            _BNState,
+            momentum=norm_kw.get("momentum", 0.9),
+            epsilon=norm_kw.get("epsilon", 1e-5),
+        )
         bn_kw = dict(train=train)
 
         k1 = _ConvKernel(width, Cin, (1, 1), name="conv1")()
         y1, st1 = _dot_bn(x, k1.reshape(Cin, width), dtype)
-        ab1 = _BNState(name="bn1")(width, st1, N, **bn_kw)
+        ab1 = BNS(name="bn1")(width, st1, N, **bn_kw)
 
         xh1 = _apply_ab(y1, ab1, dtype)
         k2 = _ConvKernel(width, width, (3, 3), name="conv2")()
@@ -365,11 +377,11 @@ class Bottleneck(nn.Module):
         N2 = B * H2 * W2
         # Single shared f32 cast of the bf16 conv output (see _dot_bn).
         y2 = y2.astype(jnp.float32)
-        ab2 = _BNState(name="bn2")(width, _stats_of(y2), N2, **bn_kw)
+        ab2 = BNS(name="bn2")(width, _stats_of(y2), N2, **bn_kw)
 
         k3 = _ConvKernel(Cout, width, (1, 1), name="conv3")()
         y3, st3 = _dot_bn(y2, k3.reshape(width, Cout), dtype, ab=ab2)
-        ab3 = _BNState(
+        ab3 = BNS(
             name="bn3",
             scale_init=nn.initializers.zeros_init()
             if self.zero_init_residual
@@ -381,7 +393,7 @@ class Bottleneck(nn.Module):
             kd = _ConvKernel(Cout, Cin, (1, 1), name="downsample_conv")()
             xd = x[:, :: self.strides, :: self.strides, :] if self.strides > 1 else x
             yd, std = _dot_bn(xd, kd.reshape(Cin, Cout), dtype)
-            abd = _BNState(name="downsample_bn")(Cout, std, N2, **bn_kw)
+            abd = BNS(name="downsample_bn")(Cout, std, N2, **bn_kw)
             out = out + yd * abd[0] + abd[1]
         else:
             out = out + x.astype(jnp.float32)

@@ -40,10 +40,12 @@ through the batch statistics), then standard conv grads on the recomputed
 identical to the unfused composition because the statistics are
 *differentiated through* (mean/var are traced functions of ``stats``).
 
-Semantics parity note: the reference applies BN to the bf16 conv output
-(stats of the rounded values); here stats come from the fp32 accumulator
-before the output cast — a sub-bf16-ulp difference, covered by tolerance in
-``tests/test_fusedconv.py``.
+Semantics parity note: statistics are computed from the *bf16-rounded* conv
+output (one shared ``astype(f32)`` of it feeds both the stat reduction and
+the downstream normalize) — bit-parity with the unfused BatchNorm, which
+also sees the rounded values; see ``_dot_bn``'s docstring for why the
+shared cast matters for the backward. ``tests/test_fusedconv.py`` covers
+the remaining summation-order tolerance.
 """
 
 from __future__ import annotations

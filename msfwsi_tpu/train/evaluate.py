@@ -32,6 +32,8 @@ __all__ = [
     "make_chunk_stats",
     "make_chunk_stats_u8",
     "make_chunk_stats_hostviews",
+    "make_chunk_stats_for_views",
+    "validate_slides",
     "validate_slide",
     "validate_slide_u8",
     "validate_slide_hostviews",
@@ -108,7 +110,7 @@ def make_chunk_stats(model, num_classes: int, chunk: int = 128, mesh=None):
     )
 
 
-def make_chunk_stats_u8(model, num_classes: int, chunk: int = 128, cfg=None, mesh=None):
+def make_chunk_stats_u8(model, num_classes: int, cfg=None, mesh=None):
     """Like :func:`make_chunk_stats`, but the input is one chunk of RAW
     uint8 slide tiles ``(chunk, tile, tile, 3)`` + uint8 masks: the
     deterministic eval views (Resize/CenterCrop + Normalize,
@@ -155,7 +157,7 @@ def make_chunk_stats_u8(model, num_classes: int, chunk: int = 128, cfg=None, mes
     )
 
 
-def make_chunk_stats_hostviews(model, num_classes: int, chunk: int = 128, cfg=None, mesh=None):
+def make_chunk_stats_hostviews(model, num_classes: int, cfg=None, mesh=None):
     """Stats over one chunk of HOST-PREBUILT uint8 eval views
     (:func:`data.pipeline.make_seg_val_views_host`): inputs are
     ``(ctx_u8, tgt_u8, tmask)`` at ``seg_size`` — only ``/255`` +
@@ -277,6 +279,53 @@ def validate_slide_hostviews(
     return _run_chunked_stats(
         stats_fn, variables, (ctx_u8, tgt_u8, tmask), num_classes, chunk, sharding
     )
+
+
+def make_chunk_stats_for_views(model, num_classes: int, val_views: str, cfg=None, mesh=None):
+    """The stat function for a CLI ``--val-views`` mode: "host" expects
+    host-prebuilt uint8 views, "device" raw uint8 tiles (views built inside
+    the chunk jit)."""
+    if val_views == "host":
+        return make_chunk_stats_hostviews(model, num_classes, cfg=cfg, mesh=mesh)
+    return make_chunk_stats_u8(model, num_classes, cfg=cfg, mesh=mesh)
+
+
+def validate_slides(
+    stats_fn: Callable,
+    variables,
+    slides,
+    val_views: str,
+    class_names,
+    chunk: int = 128,
+    sharding=None,
+    on_slide: Callable | None = None,
+):
+    """Shared CLI per-slide validation loop (``ssl_finetune`` and
+    ``evaluate`` drive the same datapath): ``slides`` yields
+    ``(ctx_u8, tgt_u8, tmask)`` in "host" mode or ``(imgs_u8, masks_u8)``
+    in "device" mode; the next slide's decode / host view build prefetches
+    under the current slide's device pass (cv2/PNG work releases the GIL).
+    ``on_slide(i, micro)`` is an optional per-slide progress hook. Returns
+    the populated :class:`SlideScores`."""
+    from ..utils import prefetch_iter
+
+    validate_one = (
+        validate_slide_hostviews if val_views == "host" else validate_slide_u8
+    )
+    scores = SlideScores(class_names)
+    for i, item in enumerate(prefetch_iter(slides)):
+        micro, sums = validate_one(
+            stats_fn,
+            variables,
+            *item,
+            num_classes=len(class_names),
+            chunk=chunk,
+            sharding=sharding,
+        )
+        scores.update(micro, sums)
+        if on_slide is not None:
+            on_slide(i, micro)
+    return scores
 
 
 def _pad_to_multiple(arr: np.ndarray, chunk: int):

@@ -189,7 +189,7 @@ class TestValidate:
             num_classes=3, chunk=4,
         )
 
-        f_u8 = EV.make_chunk_stats_u8(state.model, 3, chunk=4, cfg=cfg)
+        f_u8 = EV.make_chunk_stats_u8(state.model, 3, cfg=cfg)
         micro_b, sums_b = EV.validate_slide_u8(
             f_u8, variables, imgs, masks, num_classes=3, chunk=4
         )
@@ -214,7 +214,7 @@ class TestValidate:
         tmask = r.integers(0, config.num_classes, size=(T, SEG, SEG)).astype(np.int32)
         cfg = AugConfig(seg_size=SEG)
 
-        f_host = EV.make_chunk_stats_hostviews(state.model, 3, chunk=4, cfg=cfg)
+        f_host = EV.make_chunk_stats_hostviews(state.model, 3, cfg=cfg)
         micro_a, sums_a = EV.validate_slide_hostviews(
             f_host, variables, ctx_u8, tgt_u8, tmask, num_classes=3, chunk=4
         )

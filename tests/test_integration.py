@@ -139,13 +139,13 @@ class TestShardedValidation:
         imgs = rng.integers(0, 256, size=(T, 256, 256, 3), dtype=np.uint8)
         masks = rng.integers(0, config.num_classes, size=(T, 256, 256)).astype(np.uint8)
 
-        f_single = EV.make_chunk_stats_u8(state.model, 3, chunk=8, cfg=cfg)
+        f_single = EV.make_chunk_stats_u8(state.model, 3, cfg=cfg)
         micro_1, sums_1 = EV.validate_slide_u8(
             f_single, variables, imgs, masks, num_classes=3, chunk=8
         )
 
         mesh = make_mesh(MeshSpec(data=8), devices=jax.devices()[:8])
-        f_sharded = EV.make_chunk_stats_u8(state.model, 3, chunk=8, cfg=cfg, mesh=mesh)
+        f_sharded = EV.make_chunk_stats_u8(state.model, 3, cfg=cfg, mesh=mesh)
         micro_8, sums_8 = EV.validate_slide_u8(
             f_sharded, variables, imgs, masks, num_classes=3, chunk=8,
             sharding=NamedSharding(mesh, P("data")),

@@ -43,8 +43,8 @@ def e2e(args):
     masks = rng.integers(0, 6, (T, 1024, 1024), np.uint8)
     cfg = AugConfig()
 
-    f_u8 = EV.make_chunk_stats_u8(state.model, 5, chunk=args.chunk, cfg=cfg)
-    f_host = EV.make_chunk_stats_hostviews(state.model, 5, chunk=args.chunk, cfg=cfg)
+    f_u8 = EV.make_chunk_stats_u8(state.model, 5, cfg=cfg)
+    f_host = EV.make_chunk_stats_hostviews(state.model, 5, cfg=cfg)
     f_old = EV.make_chunk_stats(state.model, 5, chunk=args.chunk)
 
     def run_new():

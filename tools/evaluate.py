@@ -115,46 +115,27 @@ def main_worker(args):
     # (the reference's literal cv2 pipeline; ~10x fewer H2D bytes — the
     # right choice through the ~50 MB/s axon tunnel), "device" ships raw
     # tiles and builds views inside the chunk jit (direct-attached hosts).
+    chunk_stats = EV.make_chunk_stats_for_views(
+        state.model, len(class_names), args.val_views, cfg=aug_cfg, mesh=mesh
+    )
     if args.val_views == "host":
         from msfwsi_tpu.data.pipeline import make_seg_val_views_host
 
-        chunk_stats = EV.make_chunk_stats_hostviews(
-            state.model, len(class_names), chunk=args.val_chunk, cfg=aug_cfg, mesh=mesh
-        )
-    else:
-        chunk_stats = EV.make_chunk_stats_u8(
-            state.model, len(class_names), chunk=args.val_chunk, cfg=aug_cfg, mesh=mesh
-        )
-    scores = EV.SlideScores(class_names)
-    # Slide i+1's decode + host view build overlap slide i's device pass
-    # (cv2/PNG work releases the GIL).
-    from msfwsi_tpu.utils import prefetch_iter
-
-    if args.val_views == "host":
-
-        def slide_views():
+        def slides():
             for imgs_s, masks_s in iter_slides():
                 yield make_seg_val_views_host(imgs_s, masks_s, aug_cfg)
 
-        for i, (ctx_u8, tgt_u8, tmask) in enumerate(prefetch_iter(slide_views())):
-            micro, sums = EV.validate_slide_hostviews(
-                chunk_stats, variables, ctx_u8, tgt_u8, tmask,
-                num_classes=len(class_names), chunk=args.val_chunk,
-                sharding=chunk_sharding,
-            )
-            scores.update(micro, sums)
-            if i % args.print_freq == 0:
-                logger.info(f"Val slide [{i}] f1={micro['f1']:.4f}")
     else:
-        for i, (imgs_s, masks_s) in enumerate(prefetch_iter(iter_slides())):
-            micro, sums = EV.validate_slide_u8(
-                chunk_stats, variables, imgs_s, masks_s,
-                num_classes=len(class_names), chunk=args.val_chunk,
-                sharding=chunk_sharding,
-            )
-            scores.update(micro, sums)
-            if i % args.print_freq == 0:
-                logger.info(f"Val slide [{i}] f1={micro['f1']:.4f}")
+        slides = iter_slides
+
+    def log_slide(i, micro):
+        if i % args.print_freq == 0:
+            logger.info(f"Val slide [{i}] f1={micro['f1']:.4f}")
+
+    scores = EV.validate_slides(
+        chunk_stats, variables, slides(), args.val_views, class_names,
+        chunk=args.val_chunk, sharding=chunk_sharding, on_slide=log_slide,
+    )
 
     s = scores.summary()
     logger.info("=> Best scores:")

@@ -235,16 +235,11 @@ def main_worker(args):
     # No host round trips: "host" pre-builds uint8 views on CPU (reference's
     # literal cv2 pipeline, ~10x fewer H2D bytes — right through the
     # ~50 MB/s axon tunnel), "device" builds views inside the chunk jit.
+    chunk_stats = EV.make_chunk_stats_for_views(
+        val_model, len(class_names), args.val_views, cfg=aug_cfg, mesh=val_mesh
+    )
     if args.val_views == "host":
         from msfwsi_tpu.data.pipeline import make_seg_val_views_host
-
-        chunk_stats = EV.make_chunk_stats_hostviews(
-            val_model, len(class_names), chunk=args.val_chunk, cfg=aug_cfg, mesh=val_mesh
-        )
-    else:
-        chunk_stats = EV.make_chunk_stats_u8(
-            val_model, len(class_names), chunk=args.val_chunk, cfg=aug_cfg, mesh=val_mesh
-        )
     val_sharding = batch_sharding(val_mesh) if val_mesh is not None else None
     base_key = jax.random.key(config.seed)
 
@@ -273,24 +268,13 @@ def main_worker(args):
 
     def run_validation(state):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        scores = EV.SlideScores(class_names)
-        if args.val_views == "host":
-            # Slide i+1's decode + view build overlap slide i's device pass.
-            for ctx_u8, tgt_u8, tmask in prefetch_iter(host_view_slides()):
-                micro, sums = EV.validate_slide_hostviews(
-                    chunk_stats, variables, ctx_u8, tgt_u8, tmask,
-                    num_classes=len(class_names), chunk=args.val_chunk,
-                    sharding=val_sharding,
-                )
-                scores.update(micro, sums)
-        else:
-            for imgs_s, masks_s in prefetch_iter(iter_val_slides()):
-                micro, sums = EV.validate_slide_u8(
-                    chunk_stats, variables, imgs_s, masks_s,
-                    num_classes=len(class_names), chunk=args.val_chunk,
-                    sharding=val_sharding,
-                )
-                scores.update(micro, sums)
+        slides = (
+            host_view_slides() if args.val_views == "host" else iter_val_slides()
+        )
+        scores = EV.validate_slides(
+            chunk_stats, variables, slides, args.val_views, class_names,
+            chunk=args.val_chunk, sharding=val_sharding,
+        )
         return scores.summary()
 
     micro_f1 = BestRecorder("max")
@@ -333,8 +317,13 @@ def main_worker(args):
                 ]
             )
             arr = np.asarray(packed)  # one device->host round trip
-            BC = pending[0][0]["tp"].shape  # (batch, classes); counts
-            n = int(np.prod(BC))  # <= 256*256 pixels — exact in float32
+            BC = pending[0][0]["tp"].shape  # (batch, classes)
+            # Per-(sample,class) counts are bounded by the pixels of one
+            # view; float32 carries integers exactly below 2^24, so the
+            # packed fetch is lossless for seg_size up to 4096px.
+            assert config.seg_size**2 < 2**24, (
+                "packed f32 metric fetch would lose integer precision"
+            )
             for row, (_, n_valid) in zip(arr, pending):
                 losses.update(float(row[0]), n_valid)
                 stats = row[1:].reshape(4, *BC).astype(np.int64)
