@@ -96,6 +96,11 @@ class TileBatchLoader:
         # training step masks the padded suffix out of the loss (see
         # train/finetune.py); use last_batch_valid() for the real count.
         self.pad_last = pad_last
+        if pad_last and drop_last:
+            raise ValueError(
+                "pad_last requires drop_last=False (a dropped trailing batch "
+                "leaves nothing to wrap-pad)"
+            )
         if pad_last and jax.process_count() > 1:
             # The Dice sample mask assumes the wrap-pad sits at the *global*
             # batch tail; multi-host assembly puts each host's pad at its
@@ -155,8 +160,15 @@ class TileBatchLoader:
         return native.decode_batch(paths, h, w, c, self.num_threads)
 
     def __len__(self):
-        n = len(self.files) // self.batch_size
-        if not self.drop_last and len(self.files) % self.batch_size:
+        # Per-PROCESS batches per epoch — the count epoch() actually yields.
+        # Under multi-host, _shard_files pads the global list to a multiple
+        # of process_count and strides, so each process iterates ceil(n/P)
+        # files; deriving from the global length would overreport by P
+        # (and mis-derive start_epoch on a step-arithmetic resume).
+        P = jax.process_count()
+        n_local = -(-len(self.files) // P) if P > 1 else len(self.files)
+        n = n_local // self.batch_size
+        if not self.drop_last and n_local % self.batch_size:
             n += 1
         return n
 

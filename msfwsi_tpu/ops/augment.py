@@ -30,6 +30,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "ColorJitterConfig",
@@ -57,8 +58,11 @@ __all__ = [
 
 # torchvision rgb_to_grayscale weights (albumentations mirrors torchvision in
 # ColorJitter; ToGray uses the cv2 0.299/0.587/0.114 triple — the difference
-# is < 1e-3 and irrelevant for augmentation).
-_GRAY_WEIGHTS = jnp.asarray([0.299, 0.587, 0.114])
+# is < 1e-3 and irrelevant for augmentation). Kept as a plain numpy array:
+# a module-level jnp constant would initialize the JAX backend at import
+# time, silently defeating the post-import force-CPU pattern this repo
+# relies on (tools/_common.py, tests/conftest.py).
+_GRAY_WEIGHTS = np.asarray([0.299, 0.587, 0.114])
 
 
 def rgb_to_grayscale(img, keepdims: bool = True):
@@ -340,10 +344,11 @@ def gaussian_blur(key, img, blur_limit=(19, 23), sigma_limit=(0.1, 2.0), use_pal
     ``sigma_limit``; separable per-sample kernels.
 
     Static max tap count (max ksize); smaller sampled ksizes mask the outer
-    taps to zero — same math, XLA-friendly fixed shapes. On TPU (when the
-    shape qualifies and ``blur_limit`` fits the kernel's 23-tap budget) the
-    Pallas single-pass kernel is used; elsewhere the shifted-FMA XLA
-    formulation.
+    taps to zero — same math, XLA-friendly fixed shapes. The default path is
+    the shifted-FMA XLA formulation everywhere; the Pallas single-pass
+    kernel is strictly OPT-IN (``use_pallas=True``, for standalone
+    large-batch blurring) — see the measured rationale at the dispatch
+    below.
     """
     B, H, W, C = img.shape
     kmax = _blur_kmax(img.dtype, blur_limit, sigma_limit)

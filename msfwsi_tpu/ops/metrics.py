@@ -75,25 +75,33 @@ def _zero_div(x):
 
 
 def _reduce(metric_fn, tp, fp, fn, tn, reduction):
-    tp = jnp.asarray(tp, jnp.float32)
-    fp = jnp.asarray(fp, jnp.float32)
-    fn = jnp.asarray(fn, jnp.float32)
-    tn = jnp.asarray(tn, jnp.float32)
+    # Sum the confusion counts in their integer dtype FIRST (smp sums int64
+    # tensors and only then divides); a float32 cast before summation would
+    # round counts above 2^24 (e.g. tn on slides of >=257 256px tiles) and
+    # break the documented count-level parity. Only the final ratio is
+    # computed in float.
+    tp = jnp.asarray(tp)
+    fp = jnp.asarray(fp)
+    fn = jnp.asarray(fn)
+    tn = jnp.asarray(tn)
+
+    def score(*counts):
+        return metric_fn(*(jnp.asarray(c, jnp.float32) for c in counts))
 
     if reduction == "micro":
-        return _zero_div(metric_fn(tp.sum(), fp.sum(), fn.sum(), tn.sum()))
+        return _zero_div(score(tp.sum(), fp.sum(), fn.sum(), tn.sum()))
     if reduction == "micro-imagewise":
         # Sum over classes per image, score per image, then mean over images.
-        score = metric_fn(tp.sum(-1), fp.sum(-1), fn.sum(-1), tn.sum(-1))
-        return _zero_div(score).mean()
+        s = score(tp.sum(-1), fp.sum(-1), fn.sum(-1), tn.sum(-1))
+        return _zero_div(s).mean()
     if reduction == "macro":
-        score = metric_fn(tp.sum(0), fp.sum(0), fn.sum(0), tn.sum(0))
-        return _zero_div(score).mean()
+        s = score(tp.sum(0), fp.sum(0), fn.sum(0), tn.sum(0))
+        return _zero_div(s).mean()
     if reduction == "macro-imagewise":
-        score = _zero_div(metric_fn(tp, fp, fn, tn)).mean(0)
-        return score.mean()
+        s = _zero_div(score(tp, fp, fn, tn)).mean(0)
+        return s.mean()
     if reduction is None or reduction == "none":
-        return _zero_div(metric_fn(tp, fp, fn, tn))
+        return _zero_div(score(tp, fp, fn, tn))
     raise ValueError(f"unsupported reduction {reduction!r}")
 
 

@@ -148,7 +148,9 @@ def latest_checkpoint(ckpt_dir: str) -> str | None:
     wait_for_saves()  # async saves rename into place only at finalization
     if not os.path.isdir(ckpt_dir):
         return None
-    pat = re.compile(r"checkpoint_(\d{4})$")
+    # \d{4,}: the name template {epoch:04d} widens past epoch 9999 —
+    # \d{4}$ would silently resume from checkpoint_9999 forever.
+    pat = re.compile(r"checkpoint_(\d{4,})$")
     best = None
     for name in os.listdir(ckpt_dir):
         m = pat.match(name)

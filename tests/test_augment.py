@@ -18,6 +18,33 @@ def rand_img(b=2, h=32, w=32, seed=0):
     return jnp.asarray(rng.uniform(size=(b, h, w, 3)).astype(np.float32))
 
 
+def test_import_does_not_initialize_backend():
+    """Importing the augment module must not create jnp constants: that
+    initializes the JAX backend at import time, after which the repo's
+    post-import force-CPU pattern (tools/_common.py, conftest) is silently
+    ignored (regression: a module-level jnp _GRAY_WEIGHTS pinned everything
+    to the tunneled TPU)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env.pop("JAX_PLATFORMS", None)  # the real CLI environment
+    code = (
+        "import msfwsi_tpu.ops.augment as A\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp\n"
+        "d = list(A.rgb_to_grayscale(jnp.ones((1, 2, 2, 3))).devices())[0]\n"
+        "assert d.platform == 'cpu', d\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=300, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+
 class TestColorOps:
     def test_grayscale_weights(self):
         img = rand_img()

@@ -154,6 +154,26 @@ class TestLoader:
         assert batches[0].shape == (4, 128, 128, 3)
         assert str(batches[0].dtype) == "uint8"
 
+    def test_len_counts_per_process_batches(self, monkeypatch):
+        """__len__ must match what epoch() yields under multi-host:
+        _shard_files gives each process ceil(n/P) files (regression: the
+        global-length derivation overreported by P, mis-deriving
+        start_epoch on a step-arithmetic resume)."""
+        import jax
+
+        files = [f"f{i}.png" for i in range(100)]
+        loader = L.TileBatchLoader("<mem>", files, batch_size=10, load_fn=lambda r: None)
+        assert len(loader) == 10
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        assert len(loader) == 5  # 50 per-process files -> 5 batches
+
+    def test_pad_last_requires_keep_last(self):
+        with pytest.raises(ValueError, match="drop_last"):
+            L.TileBatchLoader(
+                "<mem>", ["a", "b"], batch_size=2, load_fn=lambda r: None,
+                pad_last=True,  # default drop_last=True: nothing to pad
+            )
+
     def test_pad_last_wraps_to_full_batches(self, prepared):
         """pad_last: the trailing partial batch is wrap-padded to the full
         static shape; last_batch_valid() reports the real sample count."""
