@@ -91,7 +91,25 @@ def tile_slide(
     mask = np.array(Image.open(mask_path))
     if remap_labels:
         mask = remap_bcss_labels(mask)
+    return tile_slide_arrays(
+        img, mask, out_dir, slide_name, tile_size,
+        shift_h=shift_h, shift_w=shift_w, workers=workers,
+    )
 
+
+def tile_slide_arrays(
+    img: np.ndarray,
+    mask: np.ndarray,
+    out_dir: str,
+    slide_name: str,
+    tile_size: int,
+    shift_h: int = 0,
+    shift_w: int = 0,
+    workers: int | None = None,
+) -> list[list]:
+    """Tile one pre-decoded (and pre-remapped) slide — lets callers decode
+    the multi-gigapixel PNG pair ONCE and run all four shift variants over
+    the same arrays (the decode dominates prep time)."""
     os.makedirs(os.path.join(out_dir, slide_name, "images"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, slide_name, "masks"), exist_ok=True)
 
@@ -136,11 +154,18 @@ def prepare_bcss(
             (f"_shiftHW_{shift}", shift, shift),
         ]
     for name in names:
+        # Decode + remap the region PNG pair once per slide; the shift
+        # variants re-tile the same arrays (4x fewer decodes at shift != 0 —
+        # the decode is the dominant prep cost).
+        img = np.array(Image.open(os.path.join(img_dir, name + ".png")))
+        mask = remap_bcss_labels(
+            np.array(Image.open(os.path.join(mask_dir, name + ".png")))
+        )
         for suffix, sh, sw in variants:
             rows.extend(
-                tile_slide(
-                    os.path.join(img_dir, name + ".png"),
-                    os.path.join(mask_dir, name + ".png"),
+                tile_slide_arrays(
+                    img,
+                    mask,
                     out_path,
                     name + suffix,
                     tile_size,

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .resnet import get_encoder, torch_linear_init
+from .resnet import get_encoder, torch_linear_bias_init, torch_linear_init
 
 __all__ = ["Projector", "Predictor", "MSFWSI"]
 
@@ -125,7 +125,10 @@ class Predictor(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             kernel_init=torch_linear_init,
-            bias_init=torch_linear_init,
+            # torch derives the bias bound from the layer's INPUT width
+            # (here the predictor hidden dim); flax hands bias_init the
+            # output shape, which would halve the range.
+            bias_init=torch_linear_bias_init(self.hidden_dim),
             name="fc2",
         )(x)
         if taps is not None:

@@ -48,13 +48,29 @@ def torch_linear_init(key, shape, dtype=jnp.float32):
     """torch nn.Linear default weight init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
 
     Flax kernels are (fan_in, fan_out); torch's kaiming_uniform(a=sqrt(5))
-    reduces to exactly this bound.
+    reduces to exactly this bound. For KERNELS only — flax calls bias_init
+    with shape (fan_out,), where this would derive the bound from the wrong
+    dimension; use :func:`torch_linear_bias_init` for biases.
     """
     import jax
 
     fan_in = shape[0]
     bound = 1.0 / (fan_in**0.5)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in: int):
+    """torch nn.Linear default BIAS init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    with fan_in = the layer's *input* width. Flax hands bias_init the bias
+    shape (fan_out,), so the bound must be closed over explicitly."""
+    import jax
+
+    bound = 1.0 / (fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 class BatchNormNamedStats(nn.Module):
@@ -528,7 +544,7 @@ class ResNet(nn.Module):
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
                 kernel_init=torch_linear_init,
-                bias_init=torch_linear_init,
+                bias_init=torch_linear_bias_init(pooled[-1].shape[-1]),
                 name="fc",
             )(pooled[-1])
 

@@ -13,6 +13,7 @@
 // Build: see build.sh (g++ -O3 -shared -fPIC tileio.cpp -lpng -ljpeg -lz).
 
 #include <atomic>
+#include <csetjmp>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -33,6 +34,19 @@ constexpr int kOpenFailed = -1;
 constexpr int kDecodeFailed = -2;
 constexpr int kShapeMismatch = -3;
 constexpr int kBadArgs = -4;
+
+// libjpeg's default fatal-error handler calls exit(): a single corrupt
+// JPEG would kill the whole training process from a decoder thread,
+// defeating the Python-side PIL fallback. Standard setjmp override: fatal
+// errors longjmp back into the decoder, which returns kDecodeFailed.
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  std::jmp_buf env;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+  std::longjmp(reinterpret_cast<JpegErrorMgr*>(cinfo->err)->env, 1);
+}
 
 bool has_suffix(const char* path, const char* suffix) {
   size_t lp = std::strlen(path), ls = std::strlen(suffix);
@@ -73,8 +87,14 @@ int decode_jpeg_one(const char* path, uint8_t* out, int height, int width,
   if (!f) return kOpenFailed;
 
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_longjmp;
+  if (setjmp(jerr.env)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return kDecodeFailed;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
@@ -155,8 +175,14 @@ int tileio_probe(const char* path, int* height, int* width, int* channels) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return kOpenFailed;
     jpeg_decompress_struct cinfo;
-    jpeg_error_mgr jerr;
-    cinfo.err = jpeg_std_error(&jerr);
+    JpegErrorMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_error_longjmp;
+    if (setjmp(jerr.env)) {
+      jpeg_destroy_decompress(&cinfo);
+      std::fclose(f);
+      return kDecodeFailed;
+    }
     jpeg_create_decompress(&cinfo);
     jpeg_stdio_src(&cinfo, f);
     if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {

@@ -191,12 +191,13 @@ def remap_bcss_labels(mask: np.ndarray) -> np.ndarray:
     ``np.isin`` sweeps (whose rules never rewrite each other's outputs, so
     the LUT reproduces them exactly).
     """
-    lut = np.zeros(256, dtype=mask.dtype)
+    # Size the LUT to the mask's actual range: a fixed 256-entry table would
+    # IndexError on e.g. 16-bit PNG annotations with codes >= 256, where the
+    # reference's isin sweeps (bcss_prepare.py:25-34) leave such codes
+    # untouched.
+    n = max(256, int(mask.max()) + 1 if mask.size else 256)
+    lut = np.arange(n, dtype=mask.dtype)  # unmapped codes stay untouched
     for new, raws in BCSS_CLASS_REMAP.items():
         for r in raws:
             lut[r] = new
-    # Raw codes outside the table keep their value only if < 256 and unmapped
-    # (the reference leaves unmapped codes untouched; BCSS has none > 21).
-    for v in range(22, 256):
-        lut[v] = v
     return lut[mask]

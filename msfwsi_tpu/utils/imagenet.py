@@ -70,7 +70,11 @@ def _download(arch: str, timeout: float = 30.0) -> str | None:
     cache = os.path.expanduser("~/.cache/msfwsi_tpu")
     os.makedirs(cache, exist_ok=True)
     dest = os.path.join(cache, os.path.basename(url))
-    tmp = dest + ".part"
+    # Per-process temp name: concurrent downloaders (e.g. multiple hosts on
+    # a shared filesystem) interleaving one .part file could os.replace a
+    # corrupt blob into the cache; distinct temps make the replace atomic
+    # whoever finishes last.
+    tmp = f"{dest}.{os.getpid()}.part"
     try:
         with urllib.request.urlopen(url, timeout=timeout) as r, open(tmp, "wb") as f:
             while True:

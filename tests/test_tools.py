@@ -288,6 +288,21 @@ class TestToolSmoke:
         assert "reset dataset for next epoch" in out
         assert "BEST LOSS" in out
 
+        # Resume rejoins the per-epoch resampling schedule at start_epoch
+        # (regression: the resumed run trained on resample(0) again).
+        out2 = run_tool(
+            "ssl_train.py",
+            "--data-name", "camelyon16",
+            "--data", str(data),
+            "--scale", "2", "--img-sz", "32", "--tile-px", "64",
+            "-b", "8", "--epochs", "3", "--save-freq", "2", "--seed", "0",
+            "--imagenet-weights", "none",
+            "--resume", str(tmp_path / "c16run" / "checkpoint_0001"),
+            "--log-dir", str(tmp_path / "c16resume"),
+        )
+        assert "camelyon resampling rejoined at epoch 2" in out2
+        assert "begin epoch 2" in out2
+
     def test_bcss_prepare_tool(self, tmp_path):
         import numpy as np
         from PIL import Image

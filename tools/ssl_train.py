@@ -260,13 +260,24 @@ def main_worker(args):
         logger.info(
             f"=> fuser heads tensor-parallel over {args.model_parallel} devices"
         )
+    if camelyon is not None and start_epoch:
+        # Resume rejoins the deterministic per-epoch resampling schedule:
+        # files were seeded with resample(0) above, but epoch N must train
+        # on resample(N) exactly as the uninterrupted run did (the epoch
+        # loop advances with resample(epoch + 1) at each epoch's end).
+        loader.files = camelyon.resample(start_epoch)
+        logger.info(f"=> camelyon resampling rejoined at epoch {start_epoch}")
+
     step_fn = S.make_jitted_fused_step(
         config, aug_cfg, mesh=mesh, model_parallel=args.model_parallel > 1
     )
     base_key = jax.random.key(config.seed)
 
+    # Experiment tracking on process 0 only, like the reference's rank==0
+    # gating (ssl_train.py:105-132) — every process logging would create
+    # duplicate wandb runs and conflicting tb event streams.
     tb_writer = None
-    if args.tensorboard:
+    if args.tensorboard and jax.process_index() == 0:
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -280,7 +291,7 @@ def main_worker(args):
             logger.info(f"=> tensorboard unavailable: {e}")
 
     wandb_run = None
-    if args.wandb:
+    if args.wandb and jax.process_index() == 0:
         try:
             import wandb
 
@@ -337,7 +348,9 @@ def main_worker(args):
         # (per-scalar float() would pay one ~35-40 ms tunnel round trip each).
         losses = np.asarray(jnp.stack(pending)).tolist() if pending else []
         loss = float(np.mean(losses)) if losses else float("nan")
-        is_best = loss <= best_loss
+        # (The reference computes is_best but always saves with
+        # is_best=False in pretrain — no best-model checkpoint exists here
+        # either; best_loss is logging-only.)
         best_loss = min(loss, best_loss)
 
         if camelyon is not None:
