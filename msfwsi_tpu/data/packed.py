@@ -25,10 +25,20 @@ import numpy as np
 __all__ = ["pack_key", "build_pack", "PackedTiles", "get_or_build_pack"]
 
 
-def pack_key(files: Sequence[str]) -> str:
-    """Stable content key for a file list (order-insensitive)."""
+def pack_key(files: Sequence[str], root: str = "") -> str:
+    """Stable key for (dataset root, ordered file list).
+
+    The root is part of the key: two dataset roots whose RELATIVE tile
+    names coincide (e.g. a re-prepared dataset) must not share a pack, or
+    the second run silently trains on the first run's pixels. Order is
+    part of the key too — an order-insensitive key with the exact-order
+    validation in get_or_build_pack made two stable orderings of the same
+    set ping-pong full rebuilds over one prefix (clobbering a pack another
+    live process may have mmapped)."""
     h = hashlib.sha256()
-    for f in sorted(files):
+    h.update(os.path.realpath(root).encode() if root else b"")
+    h.update(b"\0")
+    for f in files:
         h.update(f.encode())
         h.update(b"\0")
     return h.hexdigest()[:16]
@@ -66,7 +76,7 @@ def build_pack(root: str, files: Sequence[str], out_prefix: str, batch: int = 64
 
     with open(out_prefix + ".json", "w") as fh:
         json.dump(
-            {"files": list(files), "shape": list(shape), "key": pack_key(files)}, fh
+            {"files": list(files), "shape": list(shape), "key": pack_key(files, root)}, fh
         )
     return out_prefix
 
@@ -94,12 +104,12 @@ def get_or_build_pack(root: str, files: Sequence[str], cache_dir: str) -> Packed
     """Return a pack for ``files``, building it under ``cache_dir`` on first
     use (cache key = content hash of the file list)."""
     os.makedirs(cache_dir, exist_ok=True)
-    prefix = os.path.join(cache_dir, f"pack_{pack_key(files)}")
+    prefix = os.path.join(cache_dir, f"pack_{pack_key(files, root)}")
     if not (os.path.exists(prefix + ".npy") and os.path.exists(prefix + ".json")):
         build_pack(root, files, prefix)
     pack = PackedTiles(prefix)
     if pack.files != list(files):
-        # hash collision or stale cache with different ordering — rebuild
+        # hash collision (the key covers root + order, so this is rare)
         build_pack(root, files, prefix)
         pack = PackedTiles(prefix)
     return pack

@@ -417,6 +417,9 @@ def blur_or_sharpen(key, img, p: float = 0.5, use_pallas=None):
             and C == 3
             and H % 8 == 0
             and W % 8 == 0
+            # reflect pad of HALF needs dim-1 >= HALF (8px images crash)
+            and H > colorops.HALF
+            and W > colorops.HALF
             and _blur_kmax(img.dtype, (19, 23), (0.1, 2.0)) == colorops.KMAX17
         )
     if use_pallas:

@@ -41,8 +41,11 @@ DEAD = VPAD - HALF
 
 
 def blur_supported(shape) -> bool:
+    # H/W must exceed HALF: the reflect pad of HALF rows needs dim-1 >= HALF
+    # (jnp.pad mode="reflect" raises otherwise) — an 8px image passed the
+    # old alignment-only check and crashed at trace time.
     _, H, W, C = shape
-    return C == 3 and H % 8 == 0 and W % 8 == 0
+    return C == 3 and H % 8 == 0 and W % 8 == 0 and H > HALF and W > HALF
 
 
 def _vblur_kernel(kern_ref, x_hbm, out_ref, scratch, acc_ref, sem, *, slab: int):

@@ -32,7 +32,7 @@ DEAD = VPAD - HALF  # 8
 
 
 def _kernel(blur_ref, sharp_ref, sel_ref, x_hbm, out_ref, scratch, acc_ref, hacc_ref, sem,
-            *, slab: int, W: int, C: int):
+            *, slab: int, C: int):
     n = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -44,7 +44,6 @@ def _kernel(blur_ref, sharp_ref, sel_ref, x_hbm, out_ref, scratch, acc_ref, hacc
     copy.start()
     copy.wait()
 
-    wc = W * C
     sel = sel_ref[0, 0, 0]  # 0 = passthrough, 1 = blur, 2 = sharpen
 
     # All branches anchor output column w*C at *image* column w (the blur /
@@ -92,8 +91,8 @@ def _kernel(blur_ref, sharp_ref, sel_ref, x_hbm, out_ref, scratch, acc_ref, hacc
         out_ref[0, :, :] = jnp.clip(hacc_ref[:, :], 0.0, 1.0).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("W", "interpret"))
-def _call(padded, blur128, sharp128, sel, W, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call(padded, blur128, sharp128, sel, interpret=False):
     N, Hp, WCp = padded.shape
     H = Hp - 2 * VPAD
     C = 3
@@ -103,7 +102,7 @@ def _call(padded, blur128, sharp128, sel, W, interpret=False):
     grid = (N, H // slab)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, slab=slab, W=W, C=C),
+        functools.partial(_kernel, slab=slab, C=C),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 128), lambda n, i: (n, 0, 0), memory_space=pltpu.SMEM),
@@ -155,5 +154,5 @@ def blur_or_sharpen_fused(img, blur_kern, sharp_kern, op_select, interpret: bool
     )
     sel = op_select.reshape(N, 1, 1).astype(jnp.int32)
 
-    out = _call(padded, blur128, sharp128, sel, W=W, interpret=interpret)
+    out = _call(padded, blur128, sharp128, sel, interpret=interpret)
     return out[:, :, : W * C].reshape(N, H, W, C)

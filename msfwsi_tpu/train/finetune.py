@@ -317,13 +317,27 @@ def make_jitted_fused_finetune_step(config: FinetuneConfig, aug_cfg, mesh=None, 
         return finetune_train_step(state, batch, lam, num_fg, accum_steps=accum)
 
     kwargs = {}
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-        kwargs["in_shardings"] = (repl, data, data, repl, data)
-        kwargs["out_shardings"] = (repl, repl)
     if donate:
         kwargs["donate_argnums"] = (0,)
-    return jax.jit(step, **kwargs)
+    if mesh is None:
+        return jax.jit(step, **kwargs)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    jitted = jax.jit(
+        step,
+        in_shardings=(repl, data, data, repl, data),
+        out_shardings=(repl, repl),
+        **kwargs,
+    )
+
+    def call(state, imgs_u8, masks_u8, key, valid=None):
+        # Always pass `valid` positionally: the 5-entry in_shardings must
+        # prefix the actual argument tuple, so omitting the optional arg
+        # would raise; None is an empty pytree and its sharding entry is
+        # simply unused.
+        return jitted(state, imgs_u8, masks_u8, key, valid)
+
+    return call

@@ -42,7 +42,13 @@ def setup_logger(
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
 
-    formatter = logging.Formatter(_FORMAT, datefmt=_DATEFMT)
+    fmt = _FORMAT
+    if abbrev_name:
+        # Reference semantics: abbreviate the logger name in the emitted
+        # lines (detectron2-style), e.g. abbrev_name="mw" shortens every
+        # record from this logger tree.
+        fmt = _FORMAT.replace("%(name)s", abbrev_name)
+    formatter = logging.Formatter(fmt, datefmt=_DATEFMT)
     if distributed_rank == 0:
         ch = logging.StreamHandler(stream=sys.stdout)
         ch.setLevel(logging.DEBUG)
@@ -72,13 +78,31 @@ _LOG_TIMER: dict = {}
 
 
 def _caller_key():
-    frame = sys._getframe(3)
-    return (frame.f_code.co_filename, frame.f_lineno)
+    # Reference semantics (src/utils/logger.py:88-103): walk out of this
+    # module to the first external frame — keying on the CALL SITE, not the
+    # caller's caller (a fixed _getframe depth suppressed distinct calls on
+    # different lines of one function and double-counted shared helpers).
+    frame = sys._getframe(2)
+    here = os.path.join("utils", "logger.")
+    while frame:
+        code = frame.f_code
+        if here not in code.co_filename:
+            return (code.co_filename, frame.f_lineno, code.co_name)
+        frame = frame.f_back
+    return ("<unknown>", 0, "<unknown>")
 
 
 def log_first_n(lvl, msg, n=1, *, name=None, key="caller"):
-    caller = _caller_key()
-    hash_key = caller if key == "caller" else (caller, msg)
+    """Reference key semantics (logger.py:110-142): "caller" dedups per
+    call site, "message" per message content ALONE (the same warning from
+    different sites logs once), ("caller", "message") per pair."""
+    if isinstance(key, str):
+        key = (key,)
+    hash_key = ()
+    if "caller" in key:
+        hash_key = hash_key + _caller_key()
+    if "message" in key:
+        hash_key = hash_key + (msg,)
     _LOG_COUNTER[hash_key] = _LOG_COUNTER.get(hash_key, 0) + 1
     if _LOG_COUNTER[hash_key] <= n:
         logging.getLogger(name or "MSF-WSI").log(lvl, msg)

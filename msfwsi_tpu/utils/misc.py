@@ -92,6 +92,8 @@ def cal_mean_and_std(image_iter, max_value: float = 255.0):
             s1 += x.sum(axis=0)
             s2 += (x**2).sum(axis=0)
         n += x.shape[0]
+    if n == 0:
+        raise ValueError("cal_mean_and_std: image_iter yielded no images")
     mean = s1 / n
     std = np.sqrt(s2 / n - mean**2)
     return mean.tolist(), std.tolist()

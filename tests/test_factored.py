@@ -89,8 +89,14 @@ class TestFusedAdafactorParity:
             d = np.abs(fac - refa)
             name = jax.tree_util.keystr(path)
             assert d.max() <= max(2.5 * lr * (1 if inter_dtype == "float32" else 4), 0), name
-            loose = (d > tol + tol * np.abs(refa)).mean()
-            assert loose < 1e-3, f"{name}: {loose:.2e} of elements off"
+            # Count-based with a floor of 2: a pure fraction made single
+            # sign-flips fail on small leaves (1 of a 512-wide BN bias is
+            # already 2e-3; any init perturbation re-rolls which near-zero
+            # gradient elements sit on the flip boundary).
+            loose_n = int((d > tol + tol * np.abs(refa)).sum())
+            assert loose_n <= max(2, int(1e-3 * d.size)), (
+                f"{name}: {loose_n}/{d.size} elements off"
+            )
             if is_factored_kernel(path, ref):
                 checked_big += 1
         # r18/scale2 heads: 4 scales x (proj fc1-3 + pred fc1-2), minus the

@@ -62,6 +62,13 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=3407)
     parser.add_argument("--val-chunk", type=int, default=128)
     parser.add_argument("--seg-size", type=int, default=256)
+    # Evaluation MUST use the same normalization stats as the checkpoint's
+    # training run (BASELINE.md: the ImageNet defaults silently cost ~40 F1
+    # points on a dataset-stats model) — threaded through to evaluate.py.
+    parser.add_argument("--mean", nargs=3, type=float, default=None,
+                        help="normalization mean used at training time "
+                        "(default: evaluate.py's ImageNet stats)")
+    parser.add_argument("--std", nargs=3, type=float, default=None)
     parser.add_argument("--log-dir", default="./logs/parity", type=str)
     parser.add_argument("--synthetic", type=int, default=0,
                         help="fixture mode: N synthetic tiles/slide instead of real data")
@@ -90,6 +97,8 @@ def main(args):
         "--log-dir", args.log_dir,
         *(["--train-data", args.train_data] if args.train_data else []),
         *(["--synthetic", str(args.synthetic)] if args.synthetic else []),
+        *(["--mean", *map(str, args.mean)] if args.mean else []),
+        *(["--std", *map(str, args.std)] if args.std else []),
     ])
     from msfwsi_tpu.utils import increment_path
 
