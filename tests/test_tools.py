@@ -564,3 +564,99 @@ class TestExportTools:
         _, logits = state.model.apply(variables, ctx, tgt, train=False)
         want = np.argmax(np.asarray(logits, dtype=np.float32), axis=-1)
         np.testing.assert_array_equal(pred, want)
+
+
+@pytest.mark.slow
+class TestPredictTool:
+    """e2e of tools/predict.py — the mask-export CLI (no reference
+    counterpart: the reference never materializes predictions)."""
+
+    @pytest.fixture()
+    def ft_ckpt(self, tmp_path):
+        import jax
+
+        from msfwsi_tpu.train import checkpoint as C
+        from msfwsi_tpu.train import finetune as FT
+
+        config = FT.FinetuneConfig(
+            arch="resnet18", class_names=FT.BCSS_CLASSES, seg_size=64, amp=False
+        )
+        state = FT.create_finetune_state(jax.random.key(11), config, local_batch=1)
+        return C.save_train_state(str(tmp_path / "ck"), state, epoch=0, block=True)
+
+    def test_predict_synthetic_both_heads(self, ft_ckpt, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        out_dir = tmp_path / "preds"
+        out = run_tool(
+            "predict.py",
+            "--synthetic", "3", "--seg-size", "64", "--val-chunk", "4",
+            "--head", "both", "--weights", ft_ckpt,
+            "--log-dir", str(tmp_path / "pr"), "--out", str(out_dir),
+        )
+        assert "wrote 3 tile prediction(s) per head" in out
+        for slide in ("synthetic_0", "synthetic_1"):
+            for head in ("context", "target"):
+                files = sorted(os.listdir(out_dir / slide / head))
+                assert files == ["0.png", "1.png", "2.png"]
+                arr = np.asarray(Image.open(out_dir / slide / head / "0.png"))
+                assert arr.shape == (64, 64)
+                assert arr.max() <= 5  # bcss: classes 0..5 read back as indices
+
+    def test_predict_prepared_with_stitch(self, ft_ckpt, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        raw = tmp_path / "raw"
+        prep = tmp_path / "prep"
+        run_tool("make_synthetic_slides.py", "-o", str(raw), "--slides", "1", "--size", "2048")
+        run_tool("bcss_prepare.py", "-p", str(raw), "-o", str(prep), "-s", "1024")
+
+        out_dir = tmp_path / "preds"
+        out = run_tool(
+            "predict.py",
+            "--train-data", str(prep), "--fold", "0",
+            "--seg-size", "64", "--val-chunk", "4",
+            "--head", "both", "--stitch", "--raw-data", str(raw),
+            "--weights", ft_ckpt,
+            "--log-dir", str(tmp_path / "pr"), "--out", str(out_dir),
+        )
+        assert "validation slides (fold 0)" in out
+        slides = [d for d in os.listdir(out_dir) if (out_dir / d).is_dir()]
+        assert len(slides) == 1  # slide 0 is institution OL = fold-0 val
+        name = slides[0]
+        tile_preds = os.listdir(out_dir / name / "target")
+        assert tile_preds and all(f.endswith(".png") for f in tile_preds)
+
+        # context head stitches at seg/tile scale: 2048 * 64/1024 = 128
+        ctx_map = np.asarray(Image.open(out_dir / f"{name}_context_stitched.png"))
+        assert ctx_map.shape == (128, 128)
+        # target head stitches full-res center crops into the slide canvas
+        tgt_map = np.asarray(Image.open(out_dir / f"{name}_target_stitched.png"))
+        assert tgt_map.shape == (2048, 2048)
+        assert ctx_map.max() <= 5 and tgt_map.max() <= 5
+
+    def test_predict_tiles_dir(self, ft_ckpt, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        img_dir = tmp_path / "myslide" / "images"
+        os.makedirs(img_dir)
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8)
+            ).save(img_dir / f"{i}.png")
+
+        out_dir = tmp_path / "preds"
+        out = run_tool(
+            "predict.py",
+            "--tiles-dir", str(tmp_path / "myslide"),
+            "--seg-size", "64", "--val-chunk", "4",
+            "--weights", ft_ckpt,
+            "--log-dir", str(tmp_path / "pr"), "--out", str(out_dir),
+        )
+        assert "wrote 3 tile prediction(s) per head" in out
+        files = sorted(os.listdir(out_dir / "myslide" / "target"))
+        assert files == ["0.png", "1.png", "2.png"]

@@ -52,6 +52,48 @@ def warn_noop_flags(args, parser_defaults, extra=None):
             logger.info(f"=> flag --{flag.replace('_', '-')} accepted for parity but inert: {why}")
 
 
+def check_norm_stats(args, weights_path):
+    """Normalization-footgun guard: scoring with different ``--mean/--std``
+    than the checkpoint was trained with silently destroys results (measured
+    ~40 F1 points on the convergence run — BASELINE.md; the reference has the
+    same trap). Training runs dump every flag to ``configs.txt`` next to
+    their checkpoints, so when the supplied weights path has one, compare
+    and warn loudly on mismatch. Warn-only: stats legitimately differ when
+    weights were moved out of their run directory."""
+    import ast
+
+    logger = logging.getLogger("MSF-WSI")
+    if not weights_path:
+        return
+    d = weights_path if os.path.isdir(weights_path) else os.path.dirname(weights_path)
+    cfg_path = os.path.join(d, "configs.txt")
+    if not os.path.exists(cfg_path):
+        cfg_path = os.path.join(os.path.dirname(d.rstrip("/")), "configs.txt")
+        if not os.path.exists(cfg_path):
+            return
+    trained = {}
+    try:
+        with open(cfg_path) as f:
+            for line in f:
+                key, _, val = line.partition(":")
+                if key.strip() in ("mean", "std"):
+                    trained[key.strip()] = ast.literal_eval(val.strip())
+    except (OSError, ValueError, SyntaxError):
+        return
+    for key in ("mean", "std"):
+        want = trained.get(key)
+        got = getattr(args, key, None)
+        if want is None or got is None:
+            continue
+        if any(abs(a - b) > 1e-6 for a, b in zip(want, list(got))):
+            logger.warning(
+                f"=> --{key} {list(got)} differs from the checkpoint's training "
+                f"run ({want}, from {cfg_path}). Mismatched normalization "
+                f"silently degrades scores — pass --{key} {' '.join(str(v) for v in want)} "
+                "unless you know the stats changed."
+            )
+
+
 def add_error_capture(log_dir):
     """Reference behavior: crash tracebacks also go to <log_dir>/error.txt
     (``ssl_train.py:72-81``)."""

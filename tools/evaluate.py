@@ -8,7 +8,7 @@ import random
 import sys
 
 import _common  # noqa: F401
-from _common import add_error_capture, warn_noop_flags
+from _common import add_error_capture, check_norm_stats, warn_noop_flags
 
 
 def main(args):
@@ -66,6 +66,7 @@ def main_worker(args):
     if weights is None:
         logger.error(f"=> weights not found: {args.weights}")
         sys.exit(1)
+    check_norm_stats(args, weights)
     if os.path.isdir(weights):
         state = C.restore_train_state(weights, state)
     else:

@@ -13,7 +13,7 @@ import sys
 import time
 
 import _common  # noqa: F401
-from _common import add_error_capture, warn_noop_flags
+from _common import add_error_capture, check_norm_stats, warn_noop_flags
 
 
 def main(args):
@@ -101,6 +101,7 @@ def main_worker(args):
         if resolved is None:
             logger.warning("=> Invalid model weights!")
             sys.exit(1)
+        check_norm_stats(args, resolved)
         state = load_pretrain_weights(state, resolved, logger)
 
     tb_writer = None
