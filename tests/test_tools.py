@@ -660,3 +660,156 @@ class TestPredictTool:
         assert "wrote 3 tile prediction(s) per head" in out
         files = sorted(os.listdir(out_dir / "myslide" / "target"))
         assert files == ["0.png", "1.png", "2.png"]
+
+
+@pytest.mark.slow
+class TestExtractFeaturesTool:
+    """e2e of tools/extract_features.py — SSL embedding export (no
+    reference counterpart: pretrained encoders there can only be consumed
+    by further training)."""
+
+    @pytest.fixture()
+    def ssl_ckpt(self, tmp_path):
+        import jax
+
+        from msfwsi_tpu.train import checkpoint as C
+        from msfwsi_tpu.train import ssl as S
+
+        cfg = S.SSLConfig(arch="resnet18", scale=2, img_size=32, batch_size=2, amp=False)
+        state = S.create_ssl_state(jax.random.key(5), cfg)
+        return C.save_train_state(str(tmp_path / "ssl_ck"), state, epoch=0, block=True)
+
+    def test_extract_synthetic(self, ssl_ckpt, tmp_path):
+        import numpy as np
+
+        out_dir = tmp_path / "feats"
+        out = run_tool(
+            "extract_features.py",
+            "--synthetic", "3", "--tile-px", "128", "--scale", "2",
+            "--img-sz", "32", "--chunk", "4",
+            "--weights", ssl_ckpt,
+            "--log-dir", str(tmp_path / "fx"), "--out", str(out_dir),
+        )
+        assert "done: 6 tiles" in out
+        manifest = json.load(open(out_dir / "features.json"))
+        assert [k["key"] for k in manifest["keys"]] == [
+            "context_s1", "context_s2", "context_s3", "context_s4",
+            "target_s1", "target_s2", "target_s3", "target_s4",
+        ]
+        for slide in ("synthetic_0", "synthetic_1"):
+            z = np.load(out_dir / f"{slide}.npz")
+            assert list(z["stems"]) == ["0", "1", "2"]
+            assert z["context_s4"].shape == (3, 512)
+            assert z["target_s4"].shape == (3, 4, 512)  # K = scale^2 = 4
+            assert z["context_s1"].shape == (3, 64)
+            assert z["context_s4"].dtype == np.float16
+            assert np.isfinite(z["context_s4"]).all()
+
+    def test_extract_tiles_dir_target_only_fp32(self, ssl_ckpt, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        img_dir = tmp_path / "myslide" / "images"
+        os.makedirs(img_dir)
+        rng = np.random.default_rng(1)
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 256, size=(128, 128, 3), dtype=np.uint8)
+            ).save(img_dir / f"{i}.png")
+
+        out_dir = tmp_path / "feats"
+        out = run_tool(
+            "extract_features.py",
+            "--tiles-dir", str(tmp_path / "myslide"),
+            "--scale", "2", "--img-sz", "32", "--chunk", "4",
+            "--branch", "target", "--scales", "3,4", "--out-dtype", "float32",
+            "--weights", ssl_ckpt,
+            "--log-dir", str(tmp_path / "fx"), "--out", str(out_dir),
+        )
+        assert "done: 3 tiles" in out
+        z = np.load(out_dir / "myslide.npz")
+        assert sorted(z.files) == ["stems", "target_s3", "target_s4"]
+        assert z["target_s3"].shape == (3, 4, 256)
+        assert z["target_s4"].dtype == np.float32
+
+    def test_rejects_hooknet_checkpoint(self, tmp_path):
+        import jax
+
+        from msfwsi_tpu.train import checkpoint as C
+        from msfwsi_tpu.train import finetune as FT
+
+        config = FT.FinetuneConfig(
+            arch="resnet18", class_names=FT.BCSS_CLASSES, seg_size=64, amp=False
+        )
+        state = FT.create_finetune_state(jax.random.key(6), config, local_batch=1)
+        ck = C.save_train_state(str(tmp_path / "ft_ck"), state, epoch=0, block=True)
+
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "extract_features.py"),
+             "--synthetic", "2", "--tile-px", "128", "--scale", "2",
+             "--weights", ck, "--log-dir", str(tmp_path / "fx")],
+            capture_output=True, text=True, env=ENV, cwd=REPO, timeout=900,
+        )
+        assert proc.returncode != 0
+        assert "is this an SSL checkpoint" in proc.stdout + proc.stderr
+
+
+@pytest.mark.slow
+class TestDatasetStatsTool:
+    """tools/dataset_stats.py — the CLI over cal_mean_and_std
+    (reference helper ``src/utils/utils.py:26-62``, never exposed there)."""
+
+    def test_stats_match_numpy(self, tmp_path):
+        import numpy as np
+        from PIL import Image
+
+        img_dir = tmp_path / "tiles" / "images"
+        os.makedirs(img_dir)
+        rng = np.random.default_rng(2)
+        imgs = rng.integers(0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+        for i, im in enumerate(imgs):
+            Image.fromarray(im).save(img_dir / f"{i}.png")
+        # masks/ subdirs must be skipped
+        os.makedirs(tmp_path / "tiles" / "masks")
+        Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
+            tmp_path / "tiles" / "masks" / "0.png"
+        )
+
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "dataset_stats.py"),
+             "--tiles-dir", str(tmp_path / "tiles")],
+            capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "=> 4 images" in proc.stdout
+
+        x = imgs.astype(np.float64).reshape(-1, 3) / 255.0
+        mean, std = x.mean(axis=0), x.std(axis=0)
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("--mean")][0]
+        vals = [float(v) for v in line.replace("--mean", "").replace("--std", "").split()]
+        np.testing.assert_allclose(vals[:3], mean, atol=1e-4)
+        np.testing.assert_allclose(vals[3:], std, atol=1e-4)
+
+    def test_prepared_fold_split(self, tmp_path):
+        """--train-data stats run over the fold's TRAIN tiles only."""
+        raw = tmp_path / "raw"
+        prep = tmp_path / "prep"
+        run_tool("make_synthetic_slides.py", "-o", str(raw), "--slides", "2", "--size", "1024")
+        run_tool("bcss_prepare.py", "-p", str(raw), "-o", str(prep), "-s", "512")
+
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "dataset_stats.py"),
+             "--train-data", str(prep), "--fold", "0"],
+            capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        n_fold0 = int(proc.stdout.split("=> ")[1].split(" images")[0])
+
+        proc_all = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "dataset_stats.py"),
+             "--train-data", str(prep), "--fold", "-1"],
+            capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300,
+        )
+        assert proc_all.returncode == 0
+        n_all = int(proc_all.stdout.split("=> ")[1].split(" images")[0])
+        assert 0 < n_fold0 < n_all  # val slides excluded, threshold applied

@@ -22,6 +22,7 @@ import sys
 
 import _common  # noqa: F401
 from _common import add_error_capture, check_norm_stats
+from _slides import iter_csv_slides, iter_dir_slides, iter_synthetic
 
 # Background black + up to 15 distinct foreground colors; class-index PNGs
 # are written in PIL "P" mode so np.asarray() reads back the raw indices.
@@ -53,80 +54,6 @@ def main(args):
         np.random.seed(args.seed)
     dump_config(args.log_dir, args)
     add_error_capture(args.log_dir)(main_worker)(args)
-
-
-def _iter_csv_slides(args, logger):
-    """Fold-val slides of a prepared dataset: yields
-    (slide_name, tile_stems, imgs (T,H,W,3) uint8)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    import numpy as np
-
-    from msfwsi_tpu.data import datasets as D
-    from msfwsi_tpu.data.loader import load_image
-
-    root = args.train_data
-    if args.data_name == "bcss":
-        groups = D.bcss_seg_val_slides(root, fold=args.fold)
-    else:
-        groups = D.paip_seg_val_slides(root, fold=args.fold)
-    logger.info(f"=> {len(groups)} validation slides (fold {args.fold})")
-    for g in groups:
-        with ThreadPoolExecutor(8) as pool:
-            imgs = list(pool.map(lambda s: load_image(osp.join(root, s.img)), g.samples))
-        stems = [osp.splitext(osp.basename(s.img))[0] for s in g.samples]
-        yield g.filename, stems, np.stack(imgs)
-
-
-def _iter_dir_slides(tiles_dir, logger):
-    """Arbitrary tile folders: ``<dir>/images/*.png`` is one slide; else
-    every subdirectory containing ``images/`` is a slide. Numeric stems
-    sort numerically (prep-layout tile ids), others lexically."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    import numpy as np
-
-    from msfwsi_tpu.data.loader import load_image
-
-    if osp.isdir(osp.join(tiles_dir, "images")):
-        slides = [(osp.basename(osp.normpath(tiles_dir)), osp.join(tiles_dir, "images"))]
-    else:
-        slides = sorted(
-            (d, osp.join(tiles_dir, d, "images"))
-            for d in os.listdir(tiles_dir)
-            if osp.isdir(osp.join(tiles_dir, d, "images"))
-        )
-    if not slides:
-        raise FileNotFoundError(
-            f"--tiles-dir {tiles_dir}: no images/ directory found (expected "
-            "<dir>/images/*.png or <dir>/<slide>/images/*.png)"
-        )
-    logger.info(f"=> {len(slides)} tile folder(s) under {tiles_dir}")
-    for name, img_dir in slides:
-        files = [f for f in os.listdir(img_dir) if f.lower().endswith(".png")]
-        stems = [osp.splitext(f)[0] for f in files]
-        order = sorted(
-            range(len(stems)),
-            key=(lambda i: int(stems[i])) if all(s.isdigit() for s in stems) else (lambda i: stems[i]),
-        )
-        files = [files[i] for i in order]
-        stems = [stems[i] for i in order]
-        with ThreadPoolExecutor(8) as pool:
-            imgs = list(pool.map(lambda f: load_image(osp.join(img_dir, f)), files))
-        yield name, stems, np.stack(imgs)
-
-
-def _iter_synthetic(n, seg_size, num_classes):
-    import numpy as np
-
-    from msfwsi_tpu.data.loader import synthetic_tile_library
-
-    imgs, _, slide_ids = synthetic_tile_library(
-        n_slides=2, tiles_per_slide=n, tile_size=4 * seg_size, num_classes=num_classes
-    )
-    for s in np.unique(slide_ids):
-        ids = np.nonzero(slide_ids == s)[0]
-        yield f"synthetic_{s}", [str(i) for i in range(len(ids))], imgs[ids]
 
 
 def main_worker(args):
@@ -187,14 +114,14 @@ def main_worker(args):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     if args.synthetic:
-        slides = _iter_synthetic(args.synthetic, args.seg_size, len(class_names))
+        slides = iter_synthetic(args.synthetic, 4 * args.seg_size, len(class_names))
     elif args.tiles_dir:
-        slides = _iter_dir_slides(args.tiles_dir, logger)
+        slides = iter_dir_slides(args.tiles_dir, logger)
     else:
         if not args.train_data:
             logger.error("=> one of --train-data / --tiles-dir / --synthetic is required")
             sys.exit(1)
-        slides = _iter_csv_slides(args, logger)
+        slides = iter_csv_slides(args.train_data, args.data_name, args.fold, logger)
 
     out_dir = args.out or osp.join(args.log_dir, "predictions")
     os.makedirs(out_dir, exist_ok=True)
@@ -256,7 +183,7 @@ def build_parser():
     parser.add_argument("-a", "--arch", default="resnet18")
     parser.add_argument("--weights", type=str, required=True,
                         help="fine-tuned HookNet checkpoint (Orbax dir or reference .pth.tar)")
-    parser.add_argument("--data-name", type=str, default="bcss",
+    parser.add_argument("--data-name", type=str, default="bcss", choices=("bcss", "paip"),
                         help="class schema (bcss: 5+bg, paip: 3+bg)")
     parser.add_argument("--train-data", type=str,
                         help="prepared dataset root: predict on the fold's val slides")
