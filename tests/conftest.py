@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Some machines export JAX_PLATFORMS=axon in the profile. tools/_common.py
+# honors that env via jax.config (by design, for the CLIs) — and test
+# modules that import tools in-process (test_norm_guard, test_flag_surface)
+# would flip this very process onto the 1-device tunneled TPU at collection
+# time, silently running the whole suite there (seen round 3: 24 spurious
+# mesh/tolerance failures, 4x wall time). Pin the env for this process so
+# any in-process _common import re-asserts cpu instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402  (after env setup)
 
