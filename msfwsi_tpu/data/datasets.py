@@ -41,6 +41,7 @@ __all__ = [
     "paip_pretrain_files",
     "paip_seg_samples",
     "paip_seg_val_slides",
+    "seg_slide_groups",
     "Camelyon16Manifest",
 ]
 
@@ -156,6 +157,52 @@ def paip_seg_val_slides(
 ) -> list[SlideGroup]:
     df = _read_csv(data_path, "train_data.csv")
     df = df[df["filename"].isin(PAIP_VAL_SET[fold])].reset_index(drop=True)
+    df = df[df["ratio_masked_area"] >= threshold].reset_index(drop=True)
+    groups = []
+    for fname in df["filename"].unique():
+        sub = df[df["filename"] == fname]
+        groups.append(
+            SlideGroup(
+                fname,
+                tuple(SegSample(i, m) for i, m in zip(sub["filename_img"], sub["filename_mask"])),
+            )
+        )
+    return groups
+
+
+def seg_slide_groups(
+    data_path: str,
+    data_name: str,
+    fold: int = 0,
+    split: str = "val",
+    threshold: float | None = None,
+) -> list[SlideGroup]:
+    """Slide-grouped tiles of either side of a fold — the generic form
+    behind the feature-export/probe tools.
+
+    ``split="val"`` matches the validation contract exactly
+    (``bcss_seg_val_slides``/``paip_seg_val_slides``: shift tiles excluded,
+    reference ``src/utils/data/bcss.py:135-136``). ``split="train"`` is the
+    complement with the seg-train table semantics (same threshold default,
+    shift variants included — they are real training tiles in the
+    reference, ``bcss.py:67-71``), grouped by slide for per-slide outputs.
+    Thresholds default per dataset: bcss 0.1, paip 0.7.
+    """
+    if split not in ("val", "train"):
+        raise ValueError(f"split must be 'val' or 'train', got {split!r}")
+    if data_name == "bcss":
+        df = _read_csv(data_path, "data.csv")
+        in_val = _bcss_slide_code(df["filename"]).isin(BCSS_VAL_SET[fold])
+        threshold = 0.1 if threshold is None else threshold
+    elif data_name == "paip":
+        df = _read_csv(data_path, "train_data.csv")
+        in_val = df["filename"].isin(PAIP_VAL_SET[fold])
+        threshold = 0.7 if threshold is None else threshold
+    else:
+        raise ValueError(f"unknown data_name {data_name!r}")
+    df = df[in_val if split == "val" else ~in_val].reset_index(drop=True)
+    if split == "val":
+        df = df[~df["filename"].str.contains("shift")].reset_index(drop=True)
     df = df[df["ratio_masked_area"] >= threshold].reset_index(drop=True)
     groups = []
     for fname in df["filename"].unique():

@@ -120,6 +120,24 @@ class TestManifests:
         fold0 = D.paip_pretrain_files(str(tmp_path), fold=0, threshold=0.1)
         assert len(fold0) == 2  # 0100/0101 are fold-0 val slides
 
+    def test_seg_slide_groups_splits(self, prepared):
+        """val split == the val-slides contract exactly; train is the
+        complement (shift variants included — they are training tiles,
+        bcss.py:67-71) and the two are disjoint."""
+        out, df, _ = prepared
+        val = D.seg_slide_groups(out, "bcss", fold=0, split="val", threshold=0.0)
+        ref = D.bcss_seg_val_slides(out, fold=0, threshold=0.0)
+        assert [(g.filename, g.samples) for g in val] == [
+            (g.filename, g.samples) for g in ref
+        ]
+        train = D.seg_slide_groups(out, "bcss", fold=0, split="train", threshold=0.0)
+        train_names = {g.filename for g in train}
+        assert any("shift" in n for n in train_names)
+        assert {g.filename for g in val}.isdisjoint(train_names)
+        assert all("TCGA-XX" in n for n in train_names)
+        with pytest.raises(ValueError, match="split"):
+            D.seg_slide_groups(out, "bcss", split="test")
+
     def test_camelyon_manifest_resample(self, tmp_path):
         import json
 

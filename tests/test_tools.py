@@ -813,3 +813,54 @@ class TestDatasetStatsTool:
         assert proc_all.returncode == 0
         n_all = int(proc_all.stdout.split("=> ")[1].split(" images")[0])
         assert 0 < n_fold0 < n_all  # val slides excluded, threshold applied
+
+
+@pytest.mark.slow
+class TestLinearProbeTool:
+    """e2e: prepare -> extract (train+val splits) -> linear probe. The
+    reference's only SSL-quality measure is a full fine-tune; the probe has
+    no counterpart there."""
+
+    def test_probe_chain(self, tmp_path):
+        import jax
+        import numpy as np
+
+        from msfwsi_tpu.train import checkpoint as C
+        from msfwsi_tpu.train import ssl as S
+
+        raw = tmp_path / "raw"
+        prep = tmp_path / "prep"
+        run_tool("make_synthetic_slides.py", "-o", str(raw), "--slides", "2", "--size", "1024")
+        run_tool("bcss_prepare.py", "-p", str(raw), "-o", str(prep), "-s", "256")
+
+        cfg = S.SSLConfig(arch="resnet18", scale=2, img_size=32, batch_size=2, amp=False)
+        state = S.create_ssl_state(jax.random.key(7), cfg)
+        ck = C.save_train_state(str(tmp_path / "ssl_ck"), state, epoch=0, block=True)
+
+        for split in ("train", "val"):
+            run_tool(
+                "extract_features.py",
+                "--train-data", str(prep), "--fold", "0", "--split", split,
+                "--scale", "2", "--img-sz", "32", "--chunk", "8",
+                "--branch", "context", "--scales", "4",
+                "--weights", ck,
+                "--log-dir", str(tmp_path / f"fx_{split}"),
+                "--out", str(tmp_path / f"feats_{split}"),
+            )
+
+        out = run_tool(
+            "linear_probe.py",
+            "--features", str(tmp_path / "feats_train"),
+            "--features-val", str(tmp_path / "feats_val"),
+            "--train-data", str(prep), "--data-name", "bcss",
+            "--key", "context_s4", "--epochs", "50",
+            "--log-dir", str(tmp_path / "probe"),
+            "--out", str(tmp_path / "probe_out"),
+        )
+        assert "=> val: acc" in out
+        z = np.load(str(tmp_path / "probe_out.npz"))
+        assert z["W"].shape == (512, 6)  # bcss: bg + 5 classes
+        results = json.load(open(str(tmp_path / "probe_out.json")))
+        for split in ("train", "val"):
+            assert 0.0 <= results[split]["micro_f1"] <= 1.0
+            assert len(results[split]["f1_per_class"]) == 6

@@ -9,9 +9,10 @@ import os.path as osp
 import _common  # noqa: F401
 
 
-def iter_csv_slides(train_data, data_name, fold, logger):
-    """Fold-val slides of a prepared dataset (shift tiles excluded — the
-    reference's validation contract, ``src/utils/data/bcss.py:136``)."""
+def iter_csv_slides(train_data, data_name, fold, logger, split="val"):
+    """Slides of a prepared dataset fold. ``split="val"`` (default) is the
+    reference's validation contract (shift tiles excluded,
+    ``src/utils/data/bcss.py:136``); ``split="train"`` the complement."""
     from concurrent.futures import ThreadPoolExecutor
 
     import numpy as np
@@ -19,11 +20,9 @@ def iter_csv_slides(train_data, data_name, fold, logger):
     from msfwsi_tpu.data import datasets as D
     from msfwsi_tpu.data.loader import load_image
 
-    if data_name == "bcss":
-        groups = D.bcss_seg_val_slides(train_data, fold=fold)
-    else:
-        groups = D.paip_seg_val_slides(train_data, fold=fold)
-    logger.info(f"=> {len(groups)} validation slides (fold {fold})")
+    groups = D.seg_slide_groups(train_data, data_name, fold=fold, split=split)
+    label = "validation" if split == "val" else split
+    logger.info(f"=> {len(groups)} {label} slides (fold {fold})")
     for g in groups:
         with ThreadPoolExecutor(8) as pool:
             imgs = list(pool.map(lambda s: load_image(osp.join(train_data, s.img)), g.samples))

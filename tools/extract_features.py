@@ -133,7 +133,8 @@ def main_worker(args):
         if not args.train_data:
             logger.error("=> one of --train-data / --tiles-dir / --synthetic is required")
             sys.exit(1)
-        slides = iter_csv_slides(args.train_data, args.data_name, args.fold, logger)
+        slides = iter_csv_slides(args.train_data, args.data_name, args.fold, logger,
+                                 split=args.split)
 
     out_dir = args.out or osp.join(args.log_dir, "features")
     os.makedirs(out_dir, exist_ok=True)
@@ -182,6 +183,10 @@ def build_parser():
     parser.add_argument("--train-data", type=str,
                         help="prepared dataset root: extract on the fold's val slides")
     parser.add_argument("--fold", type=int, default=0)
+    parser.add_argument("--split", choices=("val", "train"), default="val",
+                        help="which side of the fold to extract (--train-data mode); "
+                             "train includes shift variants, val excludes them "
+                             "(the reference's validation contract)")
     parser.add_argument("--tiles-dir", type=str,
                         help="extract from arbitrary tile PNGs: <dir>/images/*.png "
                              "or <dir>/<slide>/images/*.png")

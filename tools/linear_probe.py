@@ -1,0 +1,219 @@
+"""Linear-probe evaluation of SSL features — score a pretrained encoder
+without fine-tuning.
+
+The reference's only measure of SSL quality is a full HookNet fine-tune
+(50 epochs, ``scripts/bcss.sh:24-40``); the community-standard quick
+check — freeze the encoder, fit a linear classifier on tile embeddings —
+has no counterpart there. This tool fits a multinomial logistic-regression
+head on features exported by ``tools/extract_features.py`` and reports
+smp-compatible micro / per-class F1 and accuracy (``ops/metrics.py``).
+
+Tile labels derive from the prep CSV's class-area ratios: a tile's label
+is its dominant class (argmax of [background = 1 - ratio_masked_area,
+ratio_masked_1_area, ...]) — the standard tile-level reduction of the
+segmentation ground truth.
+
+Workflow:
+  python tools/extract_features.py --train-data P --split train --out F_tr ...
+  python tools/extract_features.py --train-data P --split val   --out F_va ...
+  python tools/linear_probe.py --features F_tr --features-val F_va \
+      --train-data P --data-name bcss
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+
+import _common  # noqa: F401
+from _common import add_error_capture
+
+
+def main(args):
+    from msfwsi_tpu.utils import dump_config, increment_path
+
+    args.log_dir = str(increment_path(args.log_dir, sep="_", mkdir=True))
+    dump_config(args.log_dir, args)
+    add_error_capture(args.log_dir)(main_worker)(args)
+
+
+def _load_labels(train_data, data_name):
+    """(slide, stem) -> dominant-class id, from the prep CSV ratios."""
+    import pandas as pd
+
+    name = "data.csv" if data_name == "bcss" else "train_data.csv"
+    df = pd.read_csv(osp.join(train_data, name))
+    ratio_cols = []
+    c = 1
+    while f"ratio_masked_{c}_area" in df.columns:
+        ratio_cols.append(f"ratio_masked_{c}_area")
+        c += 1
+    if not ratio_cols:
+        raise ValueError(f"{name} has no ratio_masked_<c>_area columns")
+    import numpy as np
+
+    ratios = df[ratio_cols].to_numpy(dtype=np.float64)
+    bg = 1.0 - df["ratio_masked_area"].to_numpy(dtype=np.float64)
+    labels = np.argmax(np.concatenate([bg[:, None], ratios], axis=1), axis=1)
+    out = {}
+    for fname_img, slide, y in zip(df["filename_img"], df["filename"], labels):
+        stem = osp.splitext(osp.basename(fname_img))[0]
+        out[(slide, stem)] = int(y)
+    return out, len(ratio_cols) + 1  # classes 0 (bg) .. C
+
+
+def _load_features(feat_dir, key, labels, agg, logger):
+    """Stack (X, y) from a features dir written by extract_features.py."""
+    import numpy as np
+
+    xs, ys, missing = [], [], 0
+    slides = sorted(f for f in os.listdir(feat_dir) if f.endswith(".npz"))
+    if not slides:
+        raise FileNotFoundError(f"no .npz feature files under {feat_dir}")
+    for f in slides:
+        slide = osp.splitext(f)[0]
+        z = np.load(osp.join(feat_dir, f))
+        if key not in z.files:
+            raise KeyError(
+                f"{f} has no key {key!r} (has {sorted(set(z.files) - {'stems'})}); "
+                "re-run extract_features.py with matching --branch/--scales"
+            )
+        x = z[key].astype(np.float32)
+        if x.ndim == 3:  # target branch: (T, K, C)
+            x = x.mean(axis=1) if agg == "mean" else x.reshape(x.shape[0], -1)
+        for stem, row in zip(z["stems"], x):
+            y = labels.get((slide, str(stem)))
+            if y is None:
+                missing += 1
+                continue
+            xs.append(row)
+            ys.append(y)
+    if missing:
+        logger.warning(f"=> {missing} tiles in {feat_dir} have no CSV label; skipped")
+    if not xs:
+        raise ValueError(f"no labeled tiles found in {feat_dir}")
+    return np.stack(xs), np.asarray(ys, np.int32)
+
+
+def _fit_probe(X, y, num_classes, epochs, lr, l2, seed):
+    """Full-batch Adam on softmax cross-entropy (+ L2 on W)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    W = jax.random.normal(jax.random.key(seed), (X.shape[1], num_classes)) * 0.01
+    b = jnp.zeros((num_classes,))
+    tx = optax.adam(lr)
+    opt = tx.init((W, b))
+    Xd, yd = jnp.asarray(X), jnp.asarray(y)
+
+    def loss_fn(params):
+        W, b = params
+        logits = Xd @ W + b
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, yd).mean()
+        return ce + l2 * jnp.sum(W * W)
+
+    @jax.jit
+    def step(params, opt):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, updates), opt, loss
+
+    params = (W, b)
+    loss = None
+    for _ in range(epochs):
+        params, opt, loss = step(params, opt)
+    return jax.device_get(params), float(loss)
+
+
+def _score(X, y, params, num_classes):
+    import numpy as np
+
+    from msfwsi_tpu.ops import metrics as M
+
+    W, b = params
+    pred = np.argmax(X @ W + b, axis=1).astype(np.int32)
+    tp, fp, fn, tn = (np.asarray(s) for s in M.get_stats(pred[None], y[None], num_classes))
+    return {
+        "acc": float((pred == y).mean()),
+        "micro_f1": float(M.f1_score(tp, fp, fn, tn, reduction="micro")),
+        "f1_per_class": [float(v) for v in np.asarray(M.f1_score(tp, fp, fn, tn))[0]],
+    }
+
+
+def main_worker(args):
+    import numpy as np
+
+    from msfwsi_tpu.utils import setup_logger
+
+    logger = setup_logger(args.log_dir, name="MSF-WSI")
+    logger.info(" ".join([sys.executable, *sys.argv]))
+
+    labels, num_classes = _load_labels(args.train_data, args.data_name)
+    X_tr, y_tr = _load_features(args.features, args.key, labels, args.agg, logger)
+    X_va, y_va = _load_features(args.features_val, args.key, labels, args.agg, logger)
+    logger.info(
+        f"=> probe on {args.key}: {X_tr.shape[0]} train / {X_va.shape[0]} val tiles, "
+        f"{X_tr.shape[1]} dims, {num_classes} classes"
+    )
+
+    # Standardize with train statistics (a probe convention, not a model
+    # change — the affine folds into (W, b)).
+    mu = X_tr.mean(axis=0)
+    sigma = X_tr.std(axis=0) + 1e-6
+    X_tr = (X_tr - mu) / sigma
+    X_va = (X_va - mu) / sigma
+
+    params, final_loss = _fit_probe(
+        X_tr, y_tr, num_classes, args.epochs, args.lr, args.l2, args.seed
+    )
+    logger.info(f"=> fitted {args.epochs} epochs, final loss {final_loss:.4f}")
+
+    results = {
+        "train": _score(X_tr, y_tr, params, num_classes),
+        "val": _score(X_va, y_va, params, num_classes),
+    }
+    for split, r in results.items():
+        logger.info(
+            f"=> {split}: acc {r['acc']:.4f}  micro-F1 {r['micro_f1']:.4f}  "
+            f"per-class F1 {['%.3f' % v for v in r['f1_per_class']]}"
+        )
+
+    out = args.out or osp.join(args.log_dir, "probe")
+    np.savez(
+        out + ".npz", W=params[0], b=params[1], mu=mu, sigma=sigma,
+        key=args.key, num_classes=num_classes,
+    )
+    with open(out + ".json", "w") as f:
+        json.dump({"key": args.key, "num_classes": num_classes, **results}, f, indent=2)
+    logger.info(f"=> wrote {out}.npz / {out}.json")
+    return results
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="MSF-WSI/TPU linear probe")
+    parser.add_argument("--features", type=str, required=True,
+                        help="train features dir (extract_features.py --split train)")
+    parser.add_argument("--features-val", type=str, required=True,
+                        help="val features dir (extract_features.py --split val)")
+    parser.add_argument("--train-data", type=str, required=True,
+                        help="prepared dataset root (labels come from its CSV ratios)")
+    parser.add_argument("--data-name", type=str, default="bcss", choices=("bcss", "paip"))
+    parser.add_argument("--key", type=str, default="context_s4",
+                        help="feature key to probe (e.g. context_s4, target_s4)")
+    parser.add_argument("--agg", choices=("mean", "flatten"), default="mean",
+                        help="how to pool target-branch (T, K, C) stacks")
+    parser.add_argument("--epochs", type=int, default=200)
+    parser.add_argument("--lr", type=float, default=1e-2)
+    parser.add_argument("--l2", type=float, default=1e-4)
+    parser.add_argument("--seed", type=int, default=3407)
+    parser.add_argument("--log-dir", default="./logs/temp", type=str)
+    parser.add_argument("--out", type=str, help="output stem (default <log_dir>/probe)")
+    return parser
+
+
+PARSER = build_parser()
+
+if __name__ == "__main__":
+    main(PARSER.parse_args())
