@@ -133,3 +133,34 @@ def test_indivisible_tile_raises(model_vars):
     bad = np.zeros((2, 67, 67, 3), np.uint8)  # 67 % SCALE != 0
     with pytest.raises(ValueError, match="divisible"):
         fn(variables, bad)
+
+
+def test_random_weights_equal_epoch0_training_state():
+    """``extract_features.py --weights random`` exports features of exactly
+    the epoch-0 model a training run with the same ``--seed`` would start
+    from: the CLI helper's pruned variables match ``create_ssl_state``'s."""
+    import logging
+    import os
+    import sys
+
+    tools_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    import extract_features as X  # noqa: E402
+
+    from msfwsi_tpu.train import ssl as S
+
+    seed, img = 11, IMG
+    model = MSFWSI(arch="resnet18", scale=SCALE, dtype=jnp.float32)
+    got = X._random_init_variables(
+        model, ("context", "target"), seed, img, logging.getLogger("test")
+    )
+    cfg = S.SSLConfig(arch="resnet18", scale=SCALE, img_size=img, seed=seed,
+                      shuffle_views=model.views_shuffled)
+    state = S.create_ssl_state(jax.random.key(seed), cfg)
+    want_p = {k: v for k, v in state.params.items() if k.endswith("_encoder")}
+    want_s = {k: v for k, v in state.batch_stats.items() if k.endswith("_encoder")}
+
+    assert set(got["params"]) == set(want_p) == {"context_encoder", "target_encoder"}
+    jax.tree.map(np.testing.assert_array_equal, dict(got["params"]), want_p)
+    jax.tree.map(np.testing.assert_array_equal, dict(got["batch_stats"]), want_s)

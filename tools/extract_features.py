@@ -46,6 +46,38 @@ def main(args):
     add_error_capture(args.log_dir)(main_worker)(args)
 
 
+def _prune_to_encoders(variables, branches, weights, logger):
+    keep = {f"{b}_encoder" for b in branches}
+    pruned = {
+        col: {k: v for k, v in tree.items() if k in keep}
+        for col, tree in variables.items()
+    }
+    missing = keep - set(pruned["params"])
+    if missing:
+        logger.error(f"=> checkpoint {weights} has no {sorted(missing)} params — "
+                     "is this an SSL checkpoint? (finetuned HookNet checkpoints "
+                     "are not supported here)")
+        sys.exit(1)
+    return pruned
+
+
+def _random_init_variables(model, branches, seed, img_size, logger):
+    """Untrained-encoder control for linear probes: the exact epoch-0
+    params/batch_stats a training run with the same ``--seed`` would start
+    from (``train/ssl.create_ssl_state`` inits with ``jax.random.key(seed)``
+    — tested equal in ``tests/test_features.py``), pruned to the encoders."""
+    import jax
+
+    from msfwsi_tpu.train import ssl as S
+
+    cfg = S.SSLConfig(arch=model.arch, scale=model.scale, img_size=img_size,
+                      shuffle_views=model.views_shuffled)
+    batch = S.make_example_batch(cfg, local_batch=1)
+    x1, x2, revs = S.batch_views(batch, model.views_shuffled)
+    variables = model.init(jax.random.key(seed), x1, x2, revs, train=False)
+    return _prune_to_encoders(dict(variables), branches, "random", logger)
+
+
 def _load_ssl_variables(weights, branches, logger):
     """SSL checkpoint (either format) -> {"params", "batch_stats"} pruned to
     the requested branch encoders (the heads are ~1.6B params at resnet50 —
@@ -60,18 +92,7 @@ def _load_ssl_variables(weights, branches, logger):
         variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
     else:
         variables = C.torch_msfwsi_to_flax(C.load_torch_file(weights))
-    keep = {f"{b}_encoder" for b in branches}
-    pruned = {
-        col: {k: v for k, v in tree.items() if k in keep}
-        for col, tree in variables.items()
-    }
-    missing = keep - set(pruned["params"])
-    if missing:
-        logger.error(f"=> checkpoint {weights} has no {sorted(missing)} params — "
-                     "is this an SSL checkpoint? (finetuned HookNet checkpoints "
-                     "are not supported here)")
-        sys.exit(1)
-    return pruned
+    return _prune_to_encoders(variables, branches, weights, logger)
 
 
 def main_worker(args):
@@ -99,13 +120,17 @@ def main_worker(args):
         dtype=jnp.bfloat16 if args.amp else jnp.float32,
     )
 
-    logger.info(f"=> loading SSL weights {args.weights}")
-    weights = C.resolve_checkpoint_arg(args.weights)
-    if weights is None:
-        logger.error(f"=> weights not found: {args.weights}")
-        sys.exit(1)
-    check_norm_stats(args, weights)
-    variables = _load_ssl_variables(weights, branches, logger)
+    if args.weights == "random":
+        logger.info(f"=> random-init encoders (untrained probe control, seed {args.seed})")
+        variables = _random_init_variables(model, branches, args.seed, args.img_sz, logger)
+    else:
+        logger.info(f"=> loading SSL weights {args.weights}")
+        weights = C.resolve_checkpoint_arg(args.weights)
+        if weights is None:
+            logger.error(f"=> weights not found: {args.weights}")
+            sys.exit(1)
+        check_norm_stats(args, weights)
+        variables = _load_ssl_variables(weights, branches, logger)
 
     mesh = None
     chunk_sharding = None
@@ -178,7 +203,9 @@ def build_parser():
     parser = argparse.ArgumentParser(description="MSF-WSI/TPU tile embedding extraction")
     parser.add_argument("-a", "--arch", default="resnet18")
     parser.add_argument("--weights", type=str, required=True,
-                        help="SSL checkpoint (Orbax dir or reference .pth.tar)")
+                        help="SSL checkpoint (Orbax dir or reference .pth.tar), or "
+                             "'random' for untrained encoders — the control a linear "
+                             "probe compares against (epoch-0 params of --seed)")
     parser.add_argument("--data-name", type=str, default="bcss", choices=("bcss", "paip"))
     parser.add_argument("--train-data", type=str,
                         help="prepared dataset root: extract on the fold's val slides")
