@@ -135,6 +135,42 @@ def test_indivisible_tile_raises(model_vars):
         fn(variables, bad)
 
 
+def test_knn_predict_matches_numpy_oracle():
+    """`linear_probe.py --probe knn` == the Wu et al. weighted-kNN rule
+    computed straightforwardly in NumPy, including across chunk boundaries
+    (chunk=8 forces two chunks + padding on 11 queries)."""
+    import os
+    import sys
+
+    tools_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    import linear_probe as LP  # noqa: E402
+
+    rng = np.random.default_rng(7)
+    num_classes, k, temp = 4, 5, 0.07
+    X_tr = rng.normal(size=(23, 16)).astype(np.float32)
+    y_tr = rng.integers(0, num_classes, size=23).astype(np.int32)
+    X_va = rng.normal(size=(11, 16)).astype(np.float32)
+
+    got = LP._knn_predict(X_tr, y_tr, X_va, num_classes, k, temp, chunk=8)
+
+    n = lambda a: a / (np.linalg.norm(a, axis=1, keepdims=True) + 1e-12)
+    sim = n(X_va) @ n(X_tr).T  # (11, 23)
+    want = np.empty(11, np.int32)
+    for i in range(11):
+        top = np.argsort(sim[i])[::-1][:k]
+        votes = np.zeros(num_classes)
+        for j in top:
+            votes[y_tr[j]] += np.exp(sim[i, j] / temp)
+        want[i] = np.argmax(votes)
+    np.testing.assert_array_equal(got, want)
+
+    # k larger than the train set must clamp, not crash.
+    small = LP._knn_predict(X_tr[:3], y_tr[:3], X_va, num_classes, 50, temp)
+    assert small.shape == (11,)
+
+
 def test_random_weights_equal_epoch0_training_state():
     """``extract_features.py --weights random`` exports features of exactly
     the epoch-0 model a training run with the same ``--seed`` would start

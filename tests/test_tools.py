@@ -864,3 +864,19 @@ class TestLinearProbeTool:
         for split in ("train", "val"):
             assert 0.0 <= results[split]["micro_f1"] <= 1.0
             assert len(results[split]["f1_per_class"]) == 6
+
+        # Fit-free weighted-kNN probe on the same features.
+        out = run_tool(
+            "linear_probe.py",
+            "--features", str(tmp_path / "feats_train"),
+            "--features-val", str(tmp_path / "feats_val"),
+            "--train-data", str(prep), "--data-name", "bcss",
+            "--key", "context_s4", "--probe", "knn", "--knn-k", "5",
+            "--log-dir", str(tmp_path / "probe_knn"),
+            "--out", str(tmp_path / "probe_knn_out"),
+        )
+        assert "weighted kNN" in out
+        knn = json.load(open(str(tmp_path / "probe_knn_out.json")))
+        assert knn["probe"] == "knn"
+        assert knn["train"]["acc"] > 0.5  # k-NN on its own train set
+        assert not (tmp_path / "probe_knn_out.npz").exists()  # no fitted params

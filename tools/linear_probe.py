@@ -1,5 +1,5 @@
-"""Linear-probe evaluation of SSL features — score a pretrained encoder
-without fine-tuning.
+"""Linear/kNN-probe evaluation of SSL features — score a pretrained
+encoder without fine-tuning.
 
 The reference's only measure of SSL quality is a full HookNet fine-tune
 (50 epochs, ``scripts/bcss.sh:24-40``); the community-standard quick
@@ -7,6 +7,9 @@ check — freeze the encoder, fit a linear classifier on tile embeddings —
 has no counterpart there. This tool fits a multinomial logistic-regression
 head on features exported by ``tools/extract_features.py`` and reports
 smp-compatible micro / per-class F1 and accuracy (``ops/metrics.py``).
+``--probe knn`` instead runs the fit-free weighted-kNN classifier
+(cosine similarity, exp(sim/T)-weighted class votes over the top-k train
+neighbours — the protocol of Wu et al. 2018 as used by DINO/MoCo evals).
 
 Tile labels derive from the prep CSV's class-area ratios: a tile's label
 is its dominant class (argmax of [background = 1 - ratio_masked_area,
@@ -127,13 +130,50 @@ def _fit_probe(X, y, num_classes, epochs, lr, l2, seed):
     return jax.device_get(params), float(loss)
 
 
-def _score(X, y, params, num_classes):
+def _knn_predict(X_tr, y_tr, X_va, num_classes, k, temperature, chunk=4096):
+    """Weighted-kNN class prediction (Wu et al. 2018 protocol).
+
+    Cosine similarity on L2-normalized embeddings; each of the top-k train
+    neighbours votes its label with weight exp(sim / T). Chunked over val
+    rows so the (N_va, N_tr) similarity matrix never materializes whole.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    k = min(k, X_tr.shape[0])
+    norm = lambda a: a / (np.linalg.norm(a, axis=1, keepdims=True) + 1e-12)
+    Xt = jnp.asarray(norm(X_tr))
+    yt = jnp.asarray(y_tr)
+
+    @jax.jit
+    def predict(q):  # (chunk, D) -> (chunk,) labels
+        sim = q @ Xt.T  # (chunk, N_tr)
+        top_sim, top_idx = jax.lax.top_k(sim, k)
+        w = jnp.exp(top_sim / temperature)  # (chunk, k)
+        onehot = jax.nn.one_hot(yt[top_idx], num_classes)  # (chunk, k, C)
+        votes = jnp.einsum("nk,nkc->nc", w, onehot)
+        return jnp.argmax(votes, axis=1).astype(jnp.int32)
+
+    Xq = norm(X_va)
+    preds = []
+    for i in range(0, Xq.shape[0], chunk):
+        q = Xq[i : i + chunk]
+        pad = chunk - q.shape[0]  # fixed shape -> one compile
+        if pad:
+            q = np.pad(q, ((0, pad), (0, 0)))
+        preds.append(np.asarray(predict(jnp.asarray(q)))[: chunk - pad])
+    return np.concatenate(preds)
+
+
+def _score(X, y, params, num_classes, pred=None):
     import numpy as np
 
     from msfwsi_tpu.ops import metrics as M
 
-    W, b = params
-    pred = np.argmax(X @ W + b, axis=1).astype(np.int32)
+    if pred is None:
+        W, b = params
+        pred = np.argmax(X @ W + b, axis=1).astype(np.int32)
     tp, fp, fn, tn = (np.asarray(s) for s in M.get_stats(pred[None], y[None], num_classes))
     return {
         "acc": float((pred == y).mean()),
@@ -158,22 +198,33 @@ def main_worker(args):
         f"{X_tr.shape[1]} dims, {num_classes} classes"
     )
 
-    # Standardize with train statistics (a probe convention, not a model
-    # change — the affine folds into (W, b)).
-    mu = X_tr.mean(axis=0)
-    sigma = X_tr.std(axis=0) + 1e-6
-    X_tr = (X_tr - mu) / sigma
-    X_va = (X_va - mu) / sigma
+    if args.probe == "knn":
+        k = min(args.knn_k, X_tr.shape[0])
+        logger.info(f"=> weighted kNN: k={k}, T={args.knn_t} (no fit)")
+        pred_tr = _knn_predict(X_tr, y_tr, X_tr, num_classes, k, args.knn_t)
+        pred_va = _knn_predict(X_tr, y_tr, X_va, num_classes, k, args.knn_t)
+        results = {
+            "train": _score(X_tr, y_tr, None, num_classes, pred=pred_tr),
+            "val": _score(X_va, y_va, None, num_classes, pred=pred_va),
+        }
+        params = mu = sigma = None
+    else:
+        # Standardize with train statistics (a probe convention, not a model
+        # change — the affine folds into (W, b)).
+        mu = X_tr.mean(axis=0)
+        sigma = X_tr.std(axis=0) + 1e-6
+        X_tr = (X_tr - mu) / sigma
+        X_va = (X_va - mu) / sigma
 
-    params, final_loss = _fit_probe(
-        X_tr, y_tr, num_classes, args.epochs, args.lr, args.l2, args.seed
-    )
-    logger.info(f"=> fitted {args.epochs} epochs, final loss {final_loss:.4f}")
+        params, final_loss = _fit_probe(
+            X_tr, y_tr, num_classes, args.epochs, args.lr, args.l2, args.seed
+        )
+        logger.info(f"=> fitted {args.epochs} epochs, final loss {final_loss:.4f}")
 
-    results = {
-        "train": _score(X_tr, y_tr, params, num_classes),
-        "val": _score(X_va, y_va, params, num_classes),
-    }
+        results = {
+            "train": _score(X_tr, y_tr, params, num_classes),
+            "val": _score(X_va, y_va, params, num_classes),
+        }
     for split, r in results.items():
         logger.info(
             f"=> {split}: acc {r['acc']:.4f}  micro-F1 {r['micro_f1']:.4f}  "
@@ -181,13 +232,20 @@ def main_worker(args):
         )
 
     out = args.out or osp.join(args.log_dir, "probe")
-    np.savez(
-        out + ".npz", W=params[0], b=params[1], mu=mu, sigma=sigma,
-        key=args.key, num_classes=num_classes,
-    )
+    if params is not None:
+        np.savez(
+            out + ".npz", W=params[0], b=params[1], mu=mu, sigma=sigma,
+            key=args.key, num_classes=num_classes,
+        )
     with open(out + ".json", "w") as f:
-        json.dump({"key": args.key, "num_classes": num_classes, **results}, f, indent=2)
-    logger.info(f"=> wrote {out}.npz / {out}.json")
+        json.dump(
+            {"key": args.key, "probe": args.probe, "num_classes": num_classes,
+             **results},
+            f, indent=2,
+        )
+    logger.info(
+        f"=> wrote {out}.json" + ("" if params is None else f" / {out}.npz")
+    )
     return results
 
 
@@ -204,6 +262,13 @@ def build_parser():
                         help="feature key to probe (e.g. context_s4, target_s4)")
     parser.add_argument("--agg", choices=("mean", "flatten"), default="mean",
                         help="how to pool target-branch (T, K, C) stacks")
+    parser.add_argument("--probe", choices=("linear", "knn"), default="linear",
+                        help="linear = fit logistic regression; knn = fit-free "
+                        "weighted kNN (cosine sim, exp(sim/T) votes)")
+    parser.add_argument("--knn-k", type=int, default=20,
+                        help="neighbours for --probe knn (clamped to N_train)")
+    parser.add_argument("--knn-t", type=float, default=0.07,
+                        help="vote temperature for --probe knn")
     parser.add_argument("--epochs", type=int, default=200)
     parser.add_argument("--lr", type=float, default=1e-2)
     parser.add_argument("--l2", type=float, default=1e-4)
