@@ -75,7 +75,6 @@ def main():
             int(s) for s in os.environ.get("BENCH_REMAT_STAGES", "").split(",") if s
         )
         or None,
-        fused_bn=os.environ.get("BENCH_FUSED_BN", "0") == "1",
         accum_steps=int(os.environ.get("BENCH_ACCUM", "1")),
     )
     K = config.scale**2
@@ -130,7 +129,6 @@ def main():
                     if config.remat_stages
                     else ""
                 )
-                + (",fusedbn" if config.fused_bn else "")
                 + (f",accum{config.accum_steps}" if config.accum_steps > 1 else "")
                 + "]",
                 "value": round(tiles_per_sec_chip, 2),

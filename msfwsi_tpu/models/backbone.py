@@ -167,9 +167,6 @@ class MSFWSI(nn.Module):
     inter_param_dtype: Any = jnp.float32
     # 1-indexed encoder stages to remat when ``remat`` is set (None = all 4).
     remat_stages: Any = None
-    # Fused conv+BN encoder dataflow (Bottleneck archs; see
-    # models/resnet.ResNet.fused_bn). Same params/numerics, fewer HBM passes.
-    fused_bn: bool = False
     # True (reference semantics): target views arrive jigsaw-SHUFFLED and
     # the model un-shuffles their features with the inverse permutation.
     # False (TPU fast path): views arrive in spatial order and the
@@ -194,7 +191,6 @@ class MSFWSI(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             remat_stages=self.remat_stages,
-            fused_bn=self.fused_bn,
         )
         self.context_encoder = get_encoder(self.arch, **enc_kwargs)
         self.target_encoder = get_encoder(self.arch, **enc_kwargs)

@@ -141,108 +141,6 @@ class BatchNormNamedStats(nn.Module):
         return y
 
 
-class _ConvKernel(nn.Module):
-    """Parameter-only stand-in for ``nn.Conv``: declares the identical
-    ``kernel`` param (HWIO, kaiming fan-out init) and returns it raw, so the
-    fused-BN path below can drive the conv itself (dot / lax.conv) while
-    keeping the variable tree bit-identical to the unfused modules."""
-
-    features: int
-    in_features: int
-    ksize: tuple = (1, 1)
-
-    @nn.compact
-    def __call__(self):
-        return self.param(
-            "kernel",
-            kaiming_normal_conv_init,
-            (*self.ksize, self.in_features, self.features),
-            jnp.float32,
-        )
-
-
-class _BNState(nn.Module):
-    """Parameter/state-only BatchNorm for the fused path: same variables as
-    :class:`BatchNormNamedStats` (scale/bias params, fp32 running mean/var),
-    but the *statistics are supplied* (computed in the conv epilogue) and the
-    module returns the BN folded to a per-channel affine ``(2, C) [a; b]``
-    (see :func:`msfwsi_tpu.ops.fusedconv.bn_fold`)."""
-
-    momentum: float = 0.9
-    epsilon: float = 1e-5
-    scale_init: Any = nn.initializers.ones_init()
-
-    @nn.compact
-    def __call__(self, C: int, stats=None, n: int = 0, train: bool = False):
-        from jax.ad_checkpoint import checkpoint_name
-
-        from ..ops.fusedconv import bn_fold, bn_moments
-
-        scale = self.param("scale", self.scale_init, (C,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros_init(), (C,), jnp.float32)
-        ra_mean = self.variable("batch_stats", "mean", jnp.zeros, (C,), jnp.float32)
-        ra_var = self.variable("batch_stats", "var", jnp.ones, (C,), jnp.float32)
-        if train:
-            mean, var = bn_moments(stats, n)
-            # Same remat tag as BatchNormNamedStats: the (C,)-sized stats are
-            # saved under save_only_these_names("bn_stats") policies.
-            mean = checkpoint_name(mean, "bn_stats")
-            var = checkpoint_name(var, "bn_stats")
-            if not self.is_initializing():
-                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
-        else:
-            mean, var = ra_mean.value, ra_var.value
-        return bn_fold(mean, var, scale, bias, self.epsilon)
-
-
-def _dot_bn(x, w2d, dtype, ab=None):
-    """1x1 conv as a dot with the *previous* BN folded into an elementwise
-    prologue and this conv's BN statistics as a reduce epilogue.
-
-    XLA:TPU fuses elementwise producers and reduce consumers into dot
-    fusions (measured at bare-dot speed, ``tools/diag/proto_fusedconv.py``),
-    so the prologue normalize and the stat reduction cost zero HBM traffic —
-    unlike spatial convolutions, which cannot absorb either, costing ~3
-    activation-sized passes per conv+BN in the unfused graph.
-
-    Returns the conv output as ``fp32`` — the *single* ``astype(f32)`` of
-    the (bf16-rounded) dot output, shared by the stat reduction here and the
-    downstream normalize. Sharing one cast matters for gradients: the BN
-    backward is a near-cancellation between the normalize-path and
-    stats-path cotangents, and with separate casts each side is rounded to
-    bf16 *before* cancelling, leaving rounding noise of the large terms.
-    With a shared cast the cancellation accumulates in fp32 at this node.
-    (Stats still see the bf16-rounded values — parity with the unfused BN,
-    which reads the materialized bf16 activation. The f32 dataflow costs no
-    HBM: every consumer fuses, and XLA keeps the stored value bf16.)
-
-    Everything stays 4-D NHWC: the 1x1 conv is ``einsum('bhwc,cd->bhwd')``
-    (a dot_general contracting C — no reshape node in the graph). An
-    earlier (N, C)-reshape formulation made XLA assign different tiled
-    layouts to the conv side and the dot side, materializing ~7 ms physical
-    relayout copies around every block (trace: bare ``reshape.NNNN`` ops).
-    """
-    if ab is not None:
-        x = jnp.maximum(x.astype(jnp.float32) * ab[0] + ab[1], 0.0)
-    y = jnp.einsum("bhwc,cd->bhwd", x.astype(dtype), w2d.astype(dtype))
-    yf = y.astype(jnp.float32)
-    stats = jnp.stack([jnp.sum(yf, (0, 1, 2)), jnp.sum(yf * yf, (0, 1, 2))])
-    return yf, stats
-
-
-def _apply_ab(y, ab, dtype, relu: bool = True):
-    out = y.astype(jnp.float32) * ab[0] + ab[1]
-    if relu:
-        out = jnp.maximum(out, 0.0)
-    return out.astype(dtype)
-
-
-def _stats_of(y):
-    yf = y.astype(jnp.float32)
-    return jnp.stack([jnp.sum(yf, (0, 1, 2)), jnp.sum(yf * yf, (0, 1, 2))])
-
-
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity shortcut (expansion 1)."""
 
@@ -256,8 +154,6 @@ class BasicBlock(nn.Module):
     base_width: int = 64
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
-    fused_bn: bool = False  # accepted for uniformity; 3x3-only blocks gain
-    # nothing from dot-fusion (spatial convs can't absorb BN neighbors)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -300,12 +196,9 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
-    fused_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.fused_bn and self.groups == 1:
-            return self._fused_call(x, train)
         conv = functools.partial(
             nn.Conv,
             use_bias=False,
@@ -344,78 +237,6 @@ class Bottleneck(nn.Module):
             identity = bn(name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
-    def _fused_call(self, x, train: bool):
-        """Raw+stats dataflow: 1x1 convs as 4-D einsum-dots with BN folded
-        into fused prologues/epilogues; the 3x3 stays ``lax.conv`` (spatial
-        convs can't absorb elementwise/reduce neighbors) with one explicit
-        normalize pass. Everything remains NHWC — no reshape nodes (a 2-D
-        formulation cost ~7 ms/relayout around every block). Variable tree
-        and numerics match the unfused path (same param holders; stats
-        differ only by summation order)."""
-        import jax
-
-        B, H, W, Cin = x.shape
-        N = B * H * W
-        width = int(self.planes * (self.base_width / 64.0)) * self.groups
-        Cout = self.planes * self.expansion
-        dtype = self.dtype
-        # Honor the block's norm configuration: the unfused path routes
-        # bn_momentum/bn_epsilon through the `norm` partial, so the fused
-        # twin must read them from the same place or its running-stat
-        # trajectories silently diverge from the contract it documents.
-        norm_fn = self.norm.func if isinstance(self.norm, functools.partial) else self.norm
-        if norm_fn not in (nn.BatchNorm, BatchNormNamedStats):
-            raise ValueError(
-                f"fused_bn supports BatchNorm-family norms only, got {norm_fn}"
-            )
-        norm_kw = self.norm.keywords if isinstance(self.norm, functools.partial) else {}
-        BNS = functools.partial(
-            _BNState,
-            momentum=norm_kw.get("momentum", 0.9),
-            epsilon=norm_kw.get("epsilon", 1e-5),
-        )
-        bn_kw = dict(train=train)
-
-        k1 = _ConvKernel(width, Cin, (1, 1), name="conv1")()
-        y1, st1 = _dot_bn(x, k1.reshape(Cin, width), dtype)
-        ab1 = BNS(name="bn1")(width, st1, N, **bn_kw)
-
-        xh1 = _apply_ab(y1, ab1, dtype)
-        k2 = _ConvKernel(width, width, (3, 3), name="conv2")()
-        y2 = jax.lax.conv_general_dilated(
-            xh1,
-            k2.astype(dtype),
-            window_strides=(self.strides, self.strides),
-            padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        H2, W2 = y2.shape[1], y2.shape[2]
-        N2 = B * H2 * W2
-        # Single shared f32 cast of the bf16 conv output (see _dot_bn).
-        y2 = y2.astype(jnp.float32)
-        ab2 = BNS(name="bn2")(width, _stats_of(y2), N2, **bn_kw)
-
-        k3 = _ConvKernel(Cout, width, (1, 1), name="conv3")()
-        y3, st3 = _dot_bn(y2, k3.reshape(width, Cout), dtype, ab=ab2)
-        ab3 = BNS(
-            name="bn3",
-            scale_init=nn.initializers.zeros_init()
-            if self.zero_init_residual
-            else nn.initializers.ones_init(),
-        )(Cout, st3, N2, **bn_kw)
-
-        out = y3 * ab3[0] + ab3[1]
-        if self.use_projection:
-            kd = _ConvKernel(Cout, Cin, (1, 1), name="downsample_conv")()
-            xd = x[:, :: self.strides, :: self.strides, :] if self.strides > 1 else x
-            yd, std = _dot_bn(xd, kd.reshape(Cin, Cout), dtype)
-            abd = BNS(name="downsample_bn")(Cout, std, N2, **bn_kw)
-            out = out + yd * abd[0] + abd[1]
-        else:
-            out = out + x.astype(jnp.float32)
-        return jnp.maximum(out, 0.0).astype(dtype)
-
-
 class ResNet(nn.Module):
     """NHWC ResNet with multi-scale outputs.
 
@@ -440,11 +261,6 @@ class ResNet(nn.Module):
     bn_epsilon: float = 1e-5
     remat: bool = False  # activation checkpointing per residual block
     remat_stages: Sequence[int] | None = None  # 1-indexed stages to remat (None = all)
-    # Fused conv+BN dataflow for Bottleneck blocks (1x1 convs as dots with
-    # the BN normalize/stats fused into the dot prologue/epilogue) — cuts
-    # ~6 full-activation HBM passes per block. Same params and (reduction-
-    # order-tolerance) numerics as the unfused path; no effect on BasicBlock.
-    fused_bn: bool = False
 
     @property
     def feature_dims(self) -> tuple[int, int, int, int]:
@@ -526,7 +342,6 @@ class ResNet(nn.Module):
                     base_width=self.width_per_group,
                     dtype=self.dtype,
                     norm=norm,
-                    fused_bn=self.fused_bn,
                     name=f"layer{i + 1}_{j}",
                 )(x, train)
             stage_outs.append(x)

@@ -73,13 +73,6 @@ class SSLConfig:
     # With use_ac: 1-indexed encoder stages to checkpoint (empty/None = all).
     # E.g. (1, 2) keeps the FLOP-heavy small-activation stages 3-4 stored.
     remat_stages: Sequence[int] | None = None
-    # EXPERIMENTAL fused conv+BN encoder dataflow for Bottleneck archs
-    # (resnet50+): 1x1 convs as einsum-dots with the BN normalize/stats
-    # fused into the dot prologue/epilogue. Numerics match to reduction
-    # order; no effect on resnet18/34. Measured SLOWER than the default
-    # unfused path on v5e (-9% at B=8) — see ROADMAP.md; kept opt-in as a
-    # documented experiment.
-    fused_bn: bool = False
     # Gradient accumulation: split each global batch into this many
     # sequential microbatches inside the jitted step; gradients are
     # averaged and Adam applied once per global batch. Beyond-parity
@@ -123,7 +116,6 @@ class SSLConfig:
             remat_stages=tuple(self.remat_stages) if self.remat_stages else None,
             inter_param_dtype=jnp.bfloat16 if self.inter_dtype == "bfloat16" else jnp.float32,
             views_shuffled=self.shuffle_views,
-            fused_bn=self.fused_bn,
         )
 
 

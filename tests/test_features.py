@@ -171,6 +171,38 @@ def test_knn_predict_matches_numpy_oracle():
     assert small.shape == (11,)
 
 
+def test_knn_exclude_self_is_leave_one_out():
+    """Scoring the train set with exclude_self=True must ignore each query's
+    own sim=1 column (Wu et al./DINO leave-one-out protocol): with k=1 every
+    prediction is the label of the nearest *other* row, not its own."""
+    import os
+    import sys
+
+    tools_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    import linear_probe as LP  # noqa: E402
+
+    # Pairs of near-identical points with DIFFERENT labels: self-match would
+    # score acc=1.0; leave-one-out must predict the partner's label -> acc=0.
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 8)).astype(np.float32)
+    X_tr = np.repeat(base, 2, axis=0) + rng.normal(scale=1e-3, size=(12, 8)).astype(np.float32)
+    y_tr = np.tile([0, 1], 6).astype(np.int32)
+
+    loo = LP._knn_predict(X_tr, y_tr, X_tr, 2, k=1, temperature=0.07, chunk=5,
+                          exclude_self=True)
+    np.testing.assert_array_equal(loo, 1 - y_tr)  # partner's label, every row
+
+    with_self = LP._knn_predict(X_tr, y_tr, X_tr, 2, k=1, temperature=0.07)
+    np.testing.assert_array_equal(with_self, y_tr)  # the artifact, for contrast
+
+    # exclude_self clamps k to N-1 (all-but-self) without crashing.
+    big_k = LP._knn_predict(X_tr, y_tr, X_tr, 2, k=50, temperature=0.07,
+                            exclude_self=True)
+    assert big_k.shape == (12,)
+
+
 def test_random_weights_equal_epoch0_training_state():
     """``extract_features.py --weights random`` exports features of exactly
     the epoch-0 model a training run with the same ``--seed`` would start

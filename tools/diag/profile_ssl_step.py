@@ -11,7 +11,6 @@ config = S.SSLConfig(arch=os.environ.get("ARCH","resnet50"), scale=4, img_size=2
                      batch_size=B, amp=True, use_ac=os.environ.get("AC","1")=="1",
                      inter_opt=os.environ.get("IOPT","adafactor"),
                      inter_dtype=os.environ.get("IDT","bfloat16"),
-                     fused_bn=os.environ.get("FUSED","0")=="1",
                      remat_stages=tuple(int(c) for c in _rs) if _rs else None)
 aug_cfg = AugConfig(compute_dtype="bfloat16")
 rng = np.random.default_rng(0)

@@ -10,8 +10,8 @@ for i in $(seq 1 "$MAX"); do
 import jax, jax.numpy as jnp
 assert jax.devices()[0].platform != 'cpu'
 x = jnp.ones((256, 256), jnp.bfloat16)
-v = float(jax.jit(lambda a: (a @ a).sum())(x))
-assert v == 256 * 256 * 256
+v = float(jax.jit(lambda a: jnp.sum(a @ a, dtype=jnp.float32))(x))
+assert v == 256 * 256 * 256  # exact in f32 accumulation regardless of backend
 " 2>/dev/null; then
     echo "TPU execution OK after $i polls"
     exit 0

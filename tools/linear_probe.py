@@ -130,25 +130,38 @@ def _fit_probe(X, y, num_classes, epochs, lr, l2, seed):
     return jax.device_get(params), float(loss)
 
 
-def _knn_predict(X_tr, y_tr, X_va, num_classes, k, temperature, chunk=4096):
+def _knn_predict(
+    X_tr, y_tr, X_va, num_classes, k, temperature, chunk=4096, exclude_self=False
+):
     """Weighted-kNN class prediction (Wu et al. 2018 protocol).
 
     Cosine similarity on L2-normalized embeddings; each of the top-k train
     neighbours votes its label with weight exp(sim / T). Chunked over val
     rows so the (N_va, N_tr) similarity matrix never materializes whole.
+
+    ``exclude_self=True`` is for scoring the train split against itself:
+    query row i is train row i, so its own sim=1 column is masked to -inf
+    before top_k (the Wu et al./DINO convention — otherwise the self vote's
+    exp(1/0.07) weight dominates and train accuracy is ~1.0 by construction).
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    k = min(k, X_tr.shape[0])
+    k = min(k, X_tr.shape[0] - 1 if exclude_self else X_tr.shape[0])
+    k = max(k, 1)
     norm = lambda a: a / (np.linalg.norm(a, axis=1, keepdims=True) + 1e-12)
     Xt = jnp.asarray(norm(X_tr))
     yt = jnp.asarray(y_tr)
 
     @jax.jit
-    def predict(q):  # (chunk, D) -> (chunk,) labels
+    def predict(q, base):  # (chunk, D), scalar global offset -> (chunk,) labels
         sim = q @ Xt.T  # (chunk, N_tr)
+        if exclude_self:
+            self_col = base + jnp.arange(q.shape[0])[:, None]  # (chunk, 1)
+            sim = jnp.where(
+                self_col == jnp.arange(Xt.shape[0])[None, :], -jnp.inf, sim
+            )
         top_sim, top_idx = jax.lax.top_k(sim, k)
         w = jnp.exp(top_sim / temperature)  # (chunk, k)
         onehot = jax.nn.one_hot(yt[top_idx], num_classes)  # (chunk, k, C)
@@ -162,7 +175,7 @@ def _knn_predict(X_tr, y_tr, X_va, num_classes, k, temperature, chunk=4096):
         pad = chunk - q.shape[0]  # fixed shape -> one compile
         if pad:
             q = np.pad(q, ((0, pad), (0, 0)))
-        preds.append(np.asarray(predict(jnp.asarray(q)))[: chunk - pad])
+        preds.append(np.asarray(predict(jnp.asarray(q), i))[: chunk - pad])
     return np.concatenate(preds)
 
 
@@ -201,7 +214,9 @@ def main_worker(args):
     if args.probe == "knn":
         k = min(args.knn_k, X_tr.shape[0])
         logger.info(f"=> weighted kNN: k={k}, T={args.knn_t} (no fit)")
-        pred_tr = _knn_predict(X_tr, y_tr, X_tr, num_classes, k, args.knn_t)
+        pred_tr = _knn_predict(
+            X_tr, y_tr, X_tr, num_classes, k, args.knn_t, exclude_self=True
+        )
         pred_va = _knn_predict(X_tr, y_tr, X_va, num_classes, k, args.knn_t)
         results = {
             "train": _score(X_tr, y_tr, None, num_classes, pred=pred_tr),

@@ -101,7 +101,6 @@ def main_worker(args):
         inter_opt=args.inter_opt,
         inter_dtype=args.inter_dtype,
         remat_stages=tuple(args.remat_stages) if args.remat_stages else None,
-        fused_bn=args.fused_convbn,
         accum_steps=args.accum_steps,
     )
     logger.info(f"=> creating model '{args.arch}' (scale={args.scale}, K={config.scale**2})")
@@ -435,11 +434,6 @@ def build_parser():
                         "update on the averaged gradient). Makes the published global "
                         "batches fit small-HBM chips, e.g. resnet50 -b 32 on one v5e "
                         "with --accum-steps 2. BN stats are per-microbatch.")
-    parser.add_argument("--fused-convbn", action="store_true",
-                        help="EXPERIMENTAL fused conv+BN encoder dataflow "
-                        "(Bottleneck archs: 1x1 convs as einsum-dots with BN "
-                        "folded into the dot fusion). Measured slower than the "
-                        "default XLA path on v5e (ROADMAP.md); kept opt-in")
     parser.add_argument("--remat-stages", type=int, nargs="*", default=None,
                         help="with --use-ac: 1-indexed encoder stages to checkpoint "
                         "(default all; '1 2' keeps the FLOP-heavy stages 3-4 stored)")
