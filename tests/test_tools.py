@@ -30,6 +30,39 @@ def run_tool(tool, *args, timeout=900):
     return proc.stdout + proc.stderr
 
 
+def make_paip_tree(tmp_path):
+    """Tiny PAIP-layout corpus: tiles/ + train_data.csv with a fold-0 val
+    slide in the last rows (full-filename folds, datasets.PAIP_VAL_SET)."""
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+
+    from msfwsi_tpu.data.datasets import PAIP_VAL_SET
+
+    data = tmp_path / "paip"
+    os.makedirs(data / "tiles")
+    rng = np.random.default_rng(5)
+    rows = []
+    val_name = PAIP_VAL_SET[0][0]
+    for i in range(12):
+        fname = val_name if i >= 8 else f"01_01_{i:04d}"  # last 4 = fold-0 val slide
+        img = data / "tiles" / f"{fname}_t{i}.png"
+        msk = data / "tiles" / f"{fname}_t{i}_mask.png"
+        Image.fromarray(rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)).save(img)
+        Image.fromarray(rng.integers(0, 3, (128, 128)).astype(np.uint8)).save(msk)
+        rows.append(
+            {
+                "filename": fname,
+                "filename_img": f"tiles/{img.name}",
+                "filename_mask": f"tiles/{msk.name}",
+                "num_masked_pixels": 128 * 128,
+                "ratio_masked_area": 0.9,
+            }
+        )
+    pd.DataFrame(rows).to_csv(data / "train_data.csv", index=False)
+    return data
+
+
 @pytest.mark.slow
 class TestToolSmoke:
     def test_ssl_train_synthetic(self, tmp_path):
@@ -212,6 +245,79 @@ class TestToolSmoke:
             "--run-tag", "fine-tune", "bcss", "fold_0",
             "--run-notes", "cross validation on bcss: fine-tune, fold 0",
             # ---- size scale-down (extra flags only, not in the recipe) ----
+            "-b", "4", "--epochs", "1", "--steps-per-epoch", "2",
+            "--val-chunk", "4", "--seg-size", "64",
+        )
+        assert "loaded pretrained weights" in out
+        assert "MICRO F1" in out
+
+    def test_reference_recipe_c16_pretrain_verbatim(self, tmp_path):
+        """The reference's scripts/c16.sh pretrain stage runs with its flag
+        line unchanged (/root/reference/scripts/c16.sh:5-13) on a synthetic
+        Camelyon16 corpus from tools/make_synthetic_slides.py --layout c16.
+        Scale-down values are appended AFTER the verbatim flags (argparse
+        last-wins), so every recipe flag parses and takes effect."""
+        run_tool(
+            "make_synthetic_slides.py",
+            "-o", str(tmp_path / "c16"), "--layout", "c16",
+            "--slides", "2", "--tiles-per-slide", "4", "--tile-size", "128",
+        )
+        out = run_tool(
+            "ssl_train.py",
+            # ---- the reference recipe's flags, verbatim ----
+            "-a", "resnet18", "-j", "4", "-b", "32", "--epochs", "300",
+            "--lr", "1e-3",
+            "--multiprocessing-distributed", "--world-size", "1", "--rank", "0",
+            "--data-name", "camelyon16", "--data", str(tmp_path / "c16"),
+            "--mean", "0.5783", "0.3970", "0.6128",
+            "--std", "0.2424", "0.2379", "0.1918",
+            "--log-dir", str(tmp_path / "pre"),
+            "--save-freq", "50",
+            "--amp", "--bf16", "--tf32", "--tensorboard",
+            # ---- size scale-down (overrides, appended after) ----
+            "-b", "4", "--epochs", "2", "--save-freq", "2",
+            "--scale", "2", "--img-sz", "32", "--tile-px", "64",
+            "--imagenet-weights", "none", "--seed", "0",
+        )
+        assert "reset dataset for next epoch" in out  # per-epoch resample ran
+        assert "BEST LOSS" in out
+        assert os.path.isdir(tmp_path / "pre" / "checkpoint_0001")
+
+    def test_reference_recipe_paip_finetune_verbatim(self, tmp_path):
+        """The reference's scripts/paip.sh finetune stage runs with its flag
+        line unchanged (/root/reference/scripts/paip.sh:26-41), including the
+        recipe's checkpoint_NNNN.pth.tar --weights glob name resolving to the
+        Orbax dir our trainer wrote."""
+        data = make_paip_tree(tmp_path)
+        pre = tmp_path / "pre"
+        run_tool(
+            "ssl_train.py",
+            "--data-name", "paip", "--data", str(data), "--fold", "0",
+            "--scale", "2", "--img-sz", "32", "--tile-px", "64",
+            "-b", "8", "--epochs", "1", "--save-freq", "1", "--seed", "0",
+            "--imagenet-weights", "none",
+            "--log-dir", str(pre),
+        )
+        assert (pre / "checkpoint_0000").is_dir()
+        out = run_tool(
+            "ssl_finetune.py",
+            # ---- the reference recipe's flags, verbatim ----
+            "-j", "4", "-b", "64", "--epochs", "50", "--lr", "1e-3",
+            "--seed", "3407",
+            "--multiprocessing-distributed", "--world-size", "1", "--rank", "0",
+            "--data-name", "paip",
+            "--train-data", str(data),
+            "--mean", "0.76410981", "0.55224932", "0.69604445",
+            "--std", "0.14612035", "0.1648203", "0.12789637",
+            "--log-dir", str(tmp_path / "ft"),
+            "--weights", str(pre / "checkpoint_0000.pth.tar"),
+            "--fold", "0",
+            "--amp",
+            "--wandb", "--run-group", "best_paip_fold_0",
+            "--run-name", "ft_paip_fold_0",
+            "--run-tag", "fine-tune", "paip", "fold_0", "epoch_0000",
+            "--run-notes", "cross validation on paip: fine-tune, fold 0, epoch 0000",
+            # ---- size scale-down (overrides, appended after) ----
             "-b", "4", "--epochs", "1", "--steps-per-epoch", "2",
             "--val-chunk", "4", "--seg-size", "64",
         )
@@ -450,38 +556,8 @@ class TestDatasetCLIPaths:
         # both slides' pools -> 12 tiles (mode=train would see only 6)
         assert "Size of data: 12" in out
 
-    def _paip_tree(self, tmp_path):
-        import numpy as np
-        import pandas as pd
-        from PIL import Image
-
-        from msfwsi_tpu.data.datasets import PAIP_VAL_SET
-
-        data = tmp_path / "paip"
-        os.makedirs(data / "tiles")
-        rng = np.random.default_rng(5)
-        rows = []
-        val_name = PAIP_VAL_SET[0][0]
-        for i in range(12):
-            fname = val_name if i >= 8 else f"01_01_{i:04d}"  # last 4 = fold-0 val slide
-            img = data / "tiles" / f"{fname}_t{i}.png"
-            msk = data / "tiles" / f"{fname}_t{i}_mask.png"
-            Image.fromarray(rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)).save(img)
-            Image.fromarray(rng.integers(0, 3, (128, 128)).astype(np.uint8)).save(msk)
-            rows.append(
-                {
-                    "filename": fname,
-                    "filename_img": f"tiles/{img.name}",
-                    "filename_mask": f"tiles/{msk.name}",
-                    "num_masked_pixels": 128 * 128,
-                    "ratio_masked_area": 0.9,
-                }
-            )
-        pd.DataFrame(rows).to_csv(data / "train_data.csv", index=False)
-        return data
-
     def test_paip_pretrain_finetune_evaluate(self, tmp_path):
-        data = self._paip_tree(tmp_path)
+        data = make_paip_tree(tmp_path)
         out = run_tool(
             "ssl_train.py",
             "--data-name", "paip", "--data", str(data), "--fold", "0",

@@ -1,15 +1,25 @@
-"""Generate a synthetic, *learnable* BCSS-like raw dataset.
+"""Generate a synthetic, *learnable* raw dataset (BCSS or Camelyon16 layout).
 
-Produces region PNGs in the layout ``tools/bcss_prepare.py`` consumes
-(``<out>/images/TCGA-XX-....png`` + ``<out>/masks/...``, raw 21-code masks,
-``bcss_prepare.py:119-144``): H&E-looking background with blobby annotated
-regions whose raw label codes correlate with a class-specific tint, so the
-full published recipe (prepare -> SSL pretrain -> finetune -> evaluate) has
-signal to learn and validation micro-F1 can rise. Used for the recipe-path
-convergence run logged in BASELINE.md; swap in real BCSS region PNGs for
-the published numbers.
+``--layout bcss`` (default) produces region PNGs in the layout
+``tools/bcss_prepare.py`` consumes (``<out>/images/TCGA-XX-....png`` +
+``<out>/masks/...``, raw 21-code masks, ``bcss_prepare.py:119-144``):
+H&E-looking background with blobby annotated regions whose raw label codes
+correlate with a class-specific tint, so the full published recipe
+(prepare -> SSL pretrain -> finetune -> evaluate) has signal to learn and
+validation micro-F1 can rise. Used for the recipe-path convergence run
+logged in BASELINE.md; swap in real BCSS region PNGs for published numbers.
+
+``--layout c16`` produces a prepared Camelyon16 pretrain corpus in the
+manifest layout of the reference's ``Camelyon16PretrainDataset``
+(``/root/reference/src/utils/data/camelyon.py:56-83``): per-slide tile dirs
+``imagesTr/<id>/<id>_<n>.png`` (+ ``imagesTs/`` for ``--c16-mode all``) and
+a ``dataset.json`` with ``train_ids`` / ``val_ids`` / ``test_ids`` /
+``file_ending`` — what ``scripts/c16.sh`` points ``--data`` at. Tiles are
+1024px textured H&E-like crops (no masks: the C16 corpus is pretrain-only).
 
     python tools/make_synthetic_slides.py -o /tmp/bcss_raw --slides 6 --size 3072
+    python tools/make_synthetic_slides.py -o /tmp/c16 --layout c16 \\
+        --slides 4 --tiles-per-slide 8
 """
 
 import argparse
@@ -76,10 +86,57 @@ def main(args):
         print(f"wrote {name} ({args.size}px, classes: {sorted(set(np.unique(mask)) - {0})})")
 
 
+def main_c16(args):
+    """Prepared C16 pretrain corpus: imagesTr/<id>/ tile dirs + dataset.json
+    (manifest keys per ``camelyon.py:56-61``). One val and one test slide
+    are always emitted so --c16-mode all has an imagesTs to pick up."""
+    import json
+
+    from PIL import Image
+
+    rng = np.random.default_rng(args.seed)
+    tile = args.tile_size
+    train_ids, val_ids, test_ids = [], [], []
+    # C16 slide naming: tumor_###/normal_### in train, test_### in test.
+    specs = [("imagesTr", f"{'tumor' if i % 2 else 'normal'}_{i:03d}", train_ids)
+             for i in range(args.slides)]
+    specs.append(("imagesTr", f"normal_{args.slides:03d}", val_ids))
+    specs.append(("imagesTs", f"test_{0:03d}", test_ids))
+    for sub, slide_id, bucket in specs:
+        d = os.path.join(args.out, sub, slide_id)
+        os.makedirs(d, exist_ok=True)
+        bucket.append(slide_id)
+        # Tiles crop from one per-slide textured canvas so tiles of a slide
+        # share appearance statistics (like real WSI tiles do).
+        canvas, _ = make_slide(rng, tile * 2)
+        for t in range(args.tiles_per_slide):
+            y, x = rng.integers(0, tile, 2)
+            Image.fromarray(canvas[y : y + tile, x : x + tile]).save(
+                os.path.join(d, f"{slide_id}_{t}.png")
+            )
+        print(f"wrote {sub}/{slide_id}: {args.tiles_per_slide} x {tile}px tiles")
+    meta = {
+        "train_ids": train_ids,
+        "val_ids": val_ids,
+        "test_ids": test_ids,
+        "file_ending": ".png",
+    }
+    with open(os.path.join(args.out, "dataset.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"wrote dataset.json ({len(train_ids)} train / {len(val_ids)} val / "
+          f"{len(test_ids)} test ids)")
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-o", "--out", required=True)
+    p.add_argument("--layout", choices=("bcss", "c16"), default="bcss")
     p.add_argument("--slides", type=int, default=6)
     p.add_argument("--size", type=int, default=3072)
     p.add_argument("--seed", type=int, default=0)
-    main(p.parse_args())
+    p.add_argument("--tiles-per-slide", type=int, default=8,
+                   help="(c16) tiles per slide dir")
+    p.add_argument("--tile-size", type=int, default=1024,
+                   help="(c16) tile edge in px (reference corpus: 1024)")
+    args = p.parse_args()
+    main_c16(args) if args.layout == "c16" else main(args)
