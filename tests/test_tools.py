@@ -137,6 +137,25 @@ class TestToolSmoke:
         assert "MICRO F1" in out
         assert "tumor F1" in out
 
+    def test_finetune_short_trailing_batch_drain(self, tmp_path):
+        """10 tiles / b4 -> steps of batch (4, 4, 2), and the default
+        print_freq puts the (4,...) and (2,...) metric rows in ONE deferred
+        drain window. Regression: jnp.stack over the mixed shapes crashed
+        the r50 convergence finetune live (round 4); the drain must pack a
+        flat vector instead."""
+        out = run_tool(
+            "ssl_finetune.py",
+            "--synthetic", "10",
+            "-b", "4",
+            "--epochs", "1",
+            "--seg-size", "64",
+            "--val-chunk", "4",
+            "--seed", "0",
+            "--data-name", "bcss",
+            "--log-dir", str(tmp_path / "ft"),
+        )
+        assert "MICRO F1" in out
+
     def test_finetune_multidevice(self, tmp_path):
         """Finetune with batch divisible by the 8-device mesh: sharded train
         step + sharded validation chunks."""

@@ -303,7 +303,11 @@ def main_worker(args):
         def drain_pending():
             if not pending:
                 return
-            packed = jnp.stack(
+            # One flat vector, not a stack: the single-device loader yields
+            # a genuinely short trailing batch (drop_last=False parity), so
+            # rows in one drain window can have different (batch, classes)
+            # shapes (crashed live on the r50 convergence run, round 4).
+            packed = jnp.concatenate(
                 [
                     jnp.concatenate(
                         [
@@ -318,14 +322,18 @@ def main_worker(args):
                 ]
             )
             arr = np.asarray(packed)  # one device->host round trip
-            BC = pending[0][0]["tp"].shape  # (batch, classes)
             # Per-(sample,class) counts are bounded by the pixels of one
             # view; float32 carries integers exactly below 2^24, so the
             # packed fetch is lossless for seg_size up to 4096px.
             assert config.seg_size**2 < 2**24, (
                 "packed f32 metric fetch would lose integer precision"
             )
-            for row, (_, n_valid) in zip(arr, pending):
+            off = 0
+            for m, n_valid in pending:
+                BC = m["tp"].shape  # (batch, classes) of THIS step
+                n = 1 + 4 * BC[0] * BC[1]
+                row = arr[off : off + n]
+                off += n
                 losses.update(float(row[0]), n_valid)
                 stats = row[1:].reshape(4, *BC).astype(np.int64)
                 tps.append(stats[0][:n_valid])
