@@ -26,8 +26,6 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.maxpool import max_pool_3x3s2
-
 __all__ = [
     "ResNet",
     "get_encoder",
@@ -325,10 +323,7 @@ class ResNet(nn.Module):
         x = norm(use_running_average=not train, name="bn1")(x)
         stem = nn.relu(x)  # /2, 64ch — pyramid level 0
 
-        # Scatter-free custom-VJP stem pool — bit-identical (values and
-        # gradients, incl. tie order) to nn.max_pool + select_and_scatter,
-        # which ran ~5x over its HBM roofline (ops/maxpool.py).
-        x = max_pool_3x3s2(stem)
+        x = nn.max_pool(stem, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         stage_outs = []
         for i, num_blocks in enumerate(self.stage_sizes):
