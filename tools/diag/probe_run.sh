@@ -17,7 +17,8 @@ for W in trained random; do
   done
   for PROBE in linear knn; do
     python tools/linear_probe.py --features $OUT/feats_${W}_train \
-        --features-val $OUT/feats_${W}_val $DATA --key context_s4 \
+        --features-val $OUT/feats_${W}_val --data-name bcss \
+        --train-data /tmp/bcss_prep --key context_s4 \
         --probe $PROBE --log-dir $OUT/probe_${W}_${PROBE} \
         --out $OUT/probe_${W}_${PROBE}_out || exit 2
   done
