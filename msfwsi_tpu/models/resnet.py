@@ -369,6 +369,11 @@ class ResNet(nn.Module):
 # arch -> (block, stage_sizes, extra kwargs); mirrors the reference factory
 # surface (``src/models/resnet.py:278-388``).
 ARCH_SPECS: dict[str, tuple[ModuleDef, tuple[int, ...], dict]] = {
+    # resnet10 is beyond the torchvision family (no ImageNet URL): one
+    # BasicBlock per stage — the smallest encoder with the full 4-stage /
+    # 5-level pyramid contract. Used for small research configs and to
+    # halve whole-model compile time in the test suite.
+    "resnet10": (BasicBlock, (1, 1, 1, 1), {}),
     "resnet18": (BasicBlock, (2, 2, 2, 2), {}),
     "resnet34": (BasicBlock, (3, 4, 6, 3), {}),
     "resnet50": (Bottleneck, (3, 4, 6, 3), {}),

@@ -27,7 +27,7 @@ from msfwsi_tpu.train import ssl as S
 
 
 def tiny_config(**kw):
-    defaults = dict(arch="resnet18", scale=2, img_size=32, batch_size=8, amp=False)
+    defaults = dict(arch="resnet10", scale=2, img_size=32, batch_size=8, amp=False)
     defaults.update(kw)
     return S.SSLConfig(**defaults)
 
@@ -299,7 +299,7 @@ class TestSSLAccum:
 class TestFinetuneAccum:
     def _state_and_batch(self, accum):
         cfg = FT.FinetuneConfig(
-            arch="resnet18",
+            arch="resnet10",
             class_names=("a", "b", "c"),
             batch_size=4,
             amp=False,

@@ -293,8 +293,9 @@ class TestToolSmoke:
             "--log-dir", str(tmp_path / "pre"),
             "--save-freq", "50",
             "--amp", "--bf16", "--tf32", "--tensorboard",
-            # ---- size scale-down (overrides, appended after) ----
-            "-b", "4", "--epochs", "2", "--save-freq", "2",
+            # ---- size scale-down (overrides, appended after; batch must
+            # stay divisible by the 8-device test mesh) ----
+            "-b", "8", "--epochs", "2", "--save-freq", "2",
             "--scale", "2", "--img-sz", "32", "--tile-px", "64",
             "--imagenet-weights", "none", "--seed", "0",
         )
