@@ -11,7 +11,7 @@ from msfwsi_tpu.train import ssl as S
 
 
 def tiny_config(**kw):
-    defaults = dict(arch="resnet18", scale=2, img_size=32, batch_size=8, amp=False)
+    defaults = dict(arch="resnet10", scale=2, img_size=32, batch_size=8, amp=False)
     defaults.update(kw)
     return S.SSLConfig(**defaults)
 
