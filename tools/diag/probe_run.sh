@@ -4,9 +4,9 @@
 # Usage: bash tools/diag/probe_run.sh <arch> <ckpt> <outdir>
 set -x
 cd /root/repo
-ARCH=$1; CKPT=$2; OUT=$3
+ARCH=$1; CKPT=$2; OUT=$3; PREP=${4:-/tmp/bcss_prep}
 STATS="--mean 0.6998 0.4785 0.6609 --std 0.2203 0.2407 0.1983"
-DATA="--data-name bcss --train-data /tmp/bcss_prep --fold 0"
+DATA="--data-name bcss --train-data $PREP --fold 0"
 
 for W in trained random; do
   [ $W = trained ] && WARG=$CKPT || WARG=random
@@ -18,7 +18,7 @@ for W in trained random; do
   for PROBE in linear knn; do
     python tools/linear_probe.py --features $OUT/feats_${W}_train \
         --features-val $OUT/feats_${W}_val --data-name bcss \
-        --train-data /tmp/bcss_prep --key context_s4 \
+        --train-data $PREP --key context_s4 \
         --probe $PROBE --log-dir $OUT/probe_${W}_${PROBE} \
         --out $OUT/probe_${W}_${PROBE}_out || exit 2
   done
