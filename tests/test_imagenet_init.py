@@ -60,7 +60,14 @@ class TestResolver:
     def test_url_table_covers_factory_archs(self):
         from msfwsi_tpu.models.resnet import ARCH_SPECS
 
-        assert set(ARCH_SPECS) == set(IN.MODEL_URLS)
+        # Every torchvision-family arch must have its checkpoint URL;
+        # archs beyond that family (resnet10, a test/research size) have
+        # none by design and must resolve to None (random init) instead
+        # of crashing the bootstrap.
+        extra = set(ARCH_SPECS) - set(IN.MODEL_URLS)
+        assert extra == {"resnet10"}
+        assert set(IN.MODEL_URLS) <= set(ARCH_SPECS)
+        assert IN.resolve_imagenet_weights("resnet10") is None
 
 
 class TestEncoderInit:
