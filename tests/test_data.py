@@ -161,6 +161,45 @@ class TestManifests:
             per_slide.setdefault(f.split("/")[1], []).append(f)
         assert all(len(v) == 3 for v in per_slide.values())
 
+    def test_synthetic_c16_layout_feeds_manifest(self, tmp_path):
+        """make_synthetic_slides --layout c16 emits exactly the corpus
+        Camelyon16Manifest consumes (camelyon.py:56-83 contract): train
+        ids resolve under imagesTr, mode='all' additionally picks up
+        imagesTs, every listed tile decodes."""
+        import argparse
+        import importlib.util
+        import json
+        import sys
+
+        tools = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+        if tools not in sys.path:
+            sys.path.insert(0, tools)
+        spec = importlib.util.spec_from_file_location(
+            "mss", os.path.join(tools, "make_synthetic_slides.py")
+        )
+        mss = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mss)
+
+        out = tmp_path / "c16"
+        mss.main_c16(argparse.Namespace(
+            out=str(out), slides=2, seed=0, tiles_per_slide=3, tile_size=32
+        ))
+        meta = json.loads((out / "dataset.json").read_text())
+        assert set(meta) == {"train_ids", "val_ids", "test_ids", "file_ending"}
+        assert len(meta["train_ids"]) == 2
+        assert meta["val_ids"] and meta["test_ids"]
+
+        m = D.Camelyon16Manifest(str(out), n_sample=2, seed=0)
+        files = m.resample(0)
+        assert len(files) == 4  # 2 per train slide; val/test ids excluded
+        for f in files:
+            img = np.asarray(Image.open(out / f))
+            assert img.shape == (32, 32, 3)
+
+        m_all = D.Camelyon16Manifest(str(out), n_sample=3, mode="all", seed=0)
+        # imagesTr train+val slides plus the imagesTs test slide
+        assert len(m_all.resample(0)) == 3 * 4
+
 
 class TestLoader:
     def test_batches_and_shapes(self, prepared):
