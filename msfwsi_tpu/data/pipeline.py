@@ -170,11 +170,14 @@ def make_seg_train_views(key, imgs_u8, masks, cfg: AugConfig = AugConfig()):
         full-res source (sampled vs exact mean, ≤~1e-3 difference).
 
     Flip commutes exactly with the centered crop and the half-pixel
-    bilinear resize, so it is applied to the 256px outputs instead of the
-    1024px sources — a 16x smaller reversal pass (the W-reversal relayout
-    is the expensive part on TPU). Nearest-neighbor rounding does NOT
-    commute at tie coordinates, so the mask resize folds the flip into
-    its indices instead (exact nearest(flip(x)) semantics)."""
+    bilinear resize. The context image and mask fold the flip into their
+    resample grids (zero-cost — no reversal pass at all; bit-identical by
+    mirror symmetry, and ColorJitter is per-pixel so it commutes with the
+    permutation). The target pair is a pure crop (no resample to fold
+    into), so its flip runs on the 256px outputs — a 16x smaller
+    reversal than flipping the 1024px sources. Nearest-neighbor rounding
+    does NOT commute at tie coordinates, so the mask fold uses exact
+    ``nearest(flip(x))`` index semantics."""
     x = _to_float(imgs_u8, cfg.dtype)
     k_cj, k_flip = jax.random.split(key)
     B = x.shape[0]
@@ -183,14 +186,17 @@ def make_seg_train_views(key, imgs_u8, masks, cfg: AugConfig = AugConfig()):
     tgt = A.center_crop(x, cfg.seg_size)
     tgt_mask = A.center_crop(masks[..., None], cfg.seg_size)[..., 0]
 
-    ctx = A.resize_bilinear(x, cfg.seg_size)
+    # Context flip folds into the bilinear resize's column matrix — bit-
+    # identical to flipping the output (mirror-symmetric half-pixel grid;
+    # ColorJitter is per-pixel and commutes with the permutation), minus
+    # the standalone lane-reversal pass (round-4 trace: ~90 GB/s).
+    ctx = A.resize_bilinear(x, cfg.seg_size, flip=flip[:, 0, 0, 0])
     ctx_mask = A.resize_nearest(masks[..., None], cfg.seg_size, flip=flip[:, 0, 0, 0])[..., 0]
 
     jit_params = A._sample_jitter_params(k_cj, B, A.ColorJitterConfig(), x.dtype)
     ctx, means = A.apply_color_jitter(ctx, *jit_params, return_means=True)
     tgt = A.apply_color_jitter(tgt, *jit_params, means=means)
 
-    ctx = jnp.where(flip, ctx[:, :, ::-1, :], ctx)
     tgt = jnp.where(flip, tgt[:, :, ::-1, :], tgt)
     tgt_mask = jnp.where(flip[:, :, :, 0], tgt_mask[:, :, ::-1], tgt_mask)
 

@@ -652,7 +652,7 @@ def center_crop(img, crop: int):
     return img[:, y0 : y0 + crop, x0 : x0 + crop]
 
 
-def resize_bilinear(img, out_size: int):
+def resize_bilinear(img, out_size: int, flip=None):
     """Full-image bilinear resize (albu Resize, cv2 INTER_LINEAR).
 
     Uses the MXU matmul resampler: same 2-tap sampling indices as the
@@ -660,7 +660,14 @@ def resize_bilinear(img, out_size: int):
     row, and adding exact zeros is exact), but the TPU executes the two
     batched matmuls at MXU speed while per-sample gathers on a
     (B, 1024, 1024, 3) source run at <200 GB/s *and* force a physical
-    relayout of the source (round-3 finetune trace)."""
+    relayout of the source (round-3 finetune trace).
+
+    ``flip``: optional (B,) bool — per-sample horizontal flip folded into
+    the column interpolation matrix. The half-pixel sampling grid is
+    mirror-symmetric, so ``resize(flip(x)) == flip(resize(x))`` exactly
+    and the fold is bit-identical to flipping the output — without the
+    lane-reversal pass a standalone ``reverse`` costs on TPU (measured
+    ~90 GB/s effective on the W-on-lanes 256px layout, round 4)."""
     B = img.shape[0]
     boxes = (
         jnp.zeros((B,), jnp.int32),
@@ -668,7 +675,7 @@ def resize_bilinear(img, out_size: int):
         jnp.full((B,), img.shape[1], jnp.int32),
         jnp.full((B,), img.shape[2], jnp.int32),
     )
-    return crop_and_resize_mxu(img, boxes, out_size)
+    return crop_and_resize_mxu(img, boxes, out_size, flip=flip)
 
 
 def resize_nearest(img, out_size: int, flip=None):
