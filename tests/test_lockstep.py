@@ -353,3 +353,223 @@ class TestSSLLockstep:
             rel = np.max(np.abs(d_ref - d_our) / denom)
             # n <= 16 -> c-1 >= 1/15: raw deltas must differ by >= ~half of it
             assert rel > 0.5 / (n - 1), (key, n, rel)
+
+
+# ---------------------------------------------------------------------------
+# Finetune-side lockstep: torch HookNet oracle + Adam vs make_jitted_finetune_step
+# ---------------------------------------------------------------------------
+#
+# smp is not installable in this image, so the torch side is the hand-built
+# oracle assembled from the pieces already proven piecewise in
+# tests/test_checkpoint.py (pyramid ResNet encoder / smp DecoderBlock /
+# segmentation head, weight-transferred by the production converter) and the
+# published smp Dice formula from tests/test_losses.py — run through the
+# reference's literal finetune update: loss = (1-lam)*Dice(context) +
+# lam*Dice(target), loss.backward() via a pass-through GradScaler,
+# torch.optim.Adam(model.parameters(), lr*sqrt(B)/sqrt(64))
+# (/root/reference/tools/ssl_finetune.py:176-178,287-289,402-474).
+
+import torch.nn as tnn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+from test_checkpoint import TorchDecoderBlock, TorchResNet18  # noqa: E402
+from test_losses import smp_dice_loss_oracle  # noqa: E402
+
+from msfwsi_tpu.train import finetune as FT  # noqa: E402
+
+FB = 4
+SEG = 64
+FSTEPS = 3
+FLAM = 0.7  # exercises BOTH dice terms (recipes use the default lam=1)
+FLR = 1e-3
+F_CLASSES = ("a", "b")  # C = 3 with background
+F_INIT_LR = FLR * (FB**0.5) / (64**0.5)  # ssl_finetune.py:176-178
+
+
+class TorchPyramidResNet18(TorchResNet18):
+    """Same parameters as the proven pooled oracle; smp-encoder forward:
+    5-level pyramid [relu(bn1(conv1)) /2, layer1 /4, ..., layer4 /32]."""
+
+    def forward(self, x):
+        f0 = F.relu(self.bn1(self.conv1(x)))
+        f1 = self.layer1(self.maxpool(f0))
+        f2 = self.layer2(f1)
+        f3 = self.layer3(f2)
+        f4 = self.layer4(f3)
+        return [f0, f1, f2, f3, f4]
+
+
+class TorchUnetBranch(tnn.Module):
+    """One HookNet branch: encoder + smp UnetDecoder (+hook export/consume)
+    + 3x3 segmentation head, with state_dict keys matching
+    ``flax_hooknet_to_torch`` (decoder.blocks.i.convN.{0,1}, head .0)."""
+
+    def __init__(self, classes, context_ch=0, export=False):
+        super().__init__()
+        self.encoder = TorchPyramidResNet18()
+        chans = (256, 128, 64, 32, 16)
+        ins = (512 + context_ch, 256, 128, 64, 32)
+        skips = (256, 128, 64, 64, 0)
+        self.decoder = tnn.Module()
+        self.decoder.blocks = tnn.ModuleList(
+            [TorchDecoderBlock(i, s, o) for i, s, o in zip(ins, skips, chans)]
+        )
+        self.segmentation_head = tnn.Sequential(
+            tnn.Conv2d(16, classes, 3, padding=1), tnn.Identity()
+        )
+        self.export = export
+
+    def forward(self, x, context_feats=None):
+        pyramid = self.encoder(x)
+        feats = pyramid[::-1]
+        x, skips = feats[0], feats[1:]
+        if context_feats is not None:
+            x = torch.cat([x, context_feats], dim=1)
+        exported = None
+        for i, block in enumerate(self.decoder.blocks):
+            x = block(x, skips[i] if i < len(skips) else None)
+            if self.export and i == 1:
+                h = x.shape[2]
+                c0, c1 = h // 2 - h // 8, h // 2 + h // 8  # 12:20 at 256px
+                exported = x[:, :, c0:c1, c0:c1]
+        return self.segmentation_head(x), exported
+
+
+class TorchHookNet(tnn.Module):
+    def __init__(self, classes):
+        super().__init__()
+        self.context_branch = TorchUnetBranch(classes, export=True)
+        self.target_branch = TorchUnetBranch(classes, context_ch=128)
+
+    def forward(self, x1, x2):
+        context_masks, feats = self.context_branch(x1)
+        target_masks, _ = self.target_branch(x2, feats)
+        return context_masks, target_masks
+
+
+def _make_seg_batch(rng):
+    ctx = rng.normal(size=(FB, SEG, SEG, 3)).astype(np.float32)
+    tgt = rng.normal(size=(FB, SEG, SEG, 3)).astype(np.float32)
+    cm = rng.integers(0, len(F_CLASSES) + 1, size=(FB, SEG, SEG)).astype(np.int32)
+    tm = rng.integers(0, len(F_CLASSES) + 1, size=(FB, SEG, SEG)).astype(np.int32)
+    return {"context": ctx, "target": tgt, "context_mask": cm, "target_mask": tm}
+
+
+@pytest.mark.slow
+class TestFinetuneLockstep:
+    @pytest.fixture(scope="class")
+    def run(self):
+        torch.manual_seed(1)
+        config = FT.FinetuneConfig(
+            arch="resnet18",
+            class_names=F_CLASSES,
+            batch_size=FB,
+            lr=FLR,
+            lam=FLAM,
+            seg_size=SEG,
+            amp=False,
+        )
+        state = FT.create_finetune_state(jax.random.key(1), config, local_batch=2)
+
+        sd0 = C.flax_hooknet_to_torch(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            ddp_prefix=False,
+        )
+        oracle = TorchHookNet(classes=config.num_classes)
+        missing, unexpected = oracle.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd0.items()},
+            strict=False,
+        )
+        assert not unexpected, unexpected
+        assert all(k.endswith("num_batches_tracked") for k in missing), missing
+
+        optimizer = torch.optim.Adam(oracle.parameters(), F_INIT_LR)
+        scaler = torch.amp.GradScaler("cpu", enabled=False)
+        jit_step = FT.make_jitted_finetune_step(config)
+
+        classes = list(range(1, len(F_CLASSES) + 1))
+        rng = np.random.default_rng(11)
+        ref_losses, our_losses = [], []
+        snapshots = {}
+
+        oracle.train()
+        for t in range(1, FSTEPS + 1):
+            batch = _make_seg_batch(rng)
+            ctx_logits, tgt_logits = oracle(
+                _nchw(batch["context"]), _nchw(batch["target"])
+            )
+            loss = (1 - FLAM) * smp_dice_loss_oracle(
+                ctx_logits, torch.from_numpy(batch["context_mask"]).long(), classes
+            ) + FLAM * smp_dice_loss_oracle(
+                tgt_logits, torch.from_numpy(batch["target_mask"]).long(), classes
+            )
+            optimizer.zero_grad()
+            scaler.scale(loss).backward()
+            scaler.step(optimizer)
+            scaler.update()
+            ref_losses.append(float(loss.item()))
+
+            state, metrics = jit_step(
+                state, {k: jnp.asarray(v) for k, v in batch.items()}
+            )
+            our_losses.append(float(metrics["loss"]))
+            if t in (1, FSTEPS):
+                snapshots[t] = (
+                    {k: np.array(v.detach().numpy()) for k, v in oracle.state_dict().items()},
+                    C.flax_hooknet_to_torch(
+                        {"params": state.params, "batch_stats": state.batch_stats},
+                        ddp_prefix=False,
+                    ),
+                )
+        return dict(sd0=sd0, ref_losses=ref_losses, our_losses=our_losses, snapshots=snapshots)
+
+    def test_step1_loss(self, run):
+        assert run["our_losses"][0] == pytest.approx(run["ref_losses"][0], abs=1e-5)
+
+    def test_loss_lockstep_envelope(self, run):
+        for t, (rl, ol) in enumerate(zip(run["ref_losses"], run["our_losses"]), 1):
+            assert ol == pytest.approx(rl, abs=2e-3), (
+                f"step {t}: ref {run['ref_losses']} ours {run['our_losses']}"
+            )
+
+    def test_step1_adam_magnitude(self, run):
+        """Single param group: max|delta| == sqrt-batch-scaled lr at t=1,
+        on both frameworks."""
+        ref_sd1, our_sd1 = run["snapshots"][1]
+        p0 = _params_only(run["sd0"])
+        for sd1 in (ref_sd1, our_sd1):
+            p1 = _params_only(sd1)
+            dmax = max(np.abs(p1[k] - p0[k]).max() for k in p1)
+            assert dmax == pytest.approx(F_INIT_LR, rel=1e-3), (dmax, F_INIT_LR)
+
+    def test_step1_params(self, run):
+        """Element-wise update parity with the 2*lr sign-flip bound. Flips
+        are commoner than the SSL side's 5e-5 (measured: 9.7e-3 context /
+        3.0e-3 target branch): soft Dice on random labels is nearly flat,
+        so median |grad| is ~1e-5 — fp32 rounding flips the sign of a
+        visible fraction of the near-zero elements. The per-element 2*lr
+        bound and the step-1 loss/Adam-magnitude assertions carry the
+        systematic-error detection; the flip fraction bounds the noise."""
+        ref_sd1, our_sd1 = run["snapshots"][1]
+        ref_p, our_p = _params_only(ref_sd1), _params_only(our_sd1)
+        total = flipped = 0
+        for k in our_p:
+            d = np.abs(our_p[k] - ref_p[k])
+            assert d.max() <= 2.01 * F_INIT_LR, (k, d.max())
+            total += d.size
+            flipped += int((d > 0.02 * F_INIT_LR).sum())
+        assert total > 2.5e7  # two full U-Nets (28.9M params)
+        assert flipped / total < 3e-2, (flipped, total)
+
+    def test_post_run_params_and_means(self, run):
+        ref_sd, our_sd = run["snapshots"][FSTEPS]
+        ref_p, our_p = _params_only(ref_sd), _params_only(our_sd)
+        for k in our_p:
+            np.testing.assert_allclose(
+                our_p[k], ref_p[k], atol=5e-3, rtol=0, err_msg=f"{k} after {FSTEPS} steps"
+            )
+        ref_m, our_m = _running(ref_sd, "running_mean"), _running(our_sd, "running_mean")
+        for k in our_m:
+            np.testing.assert_allclose(
+                our_m[k], ref_m[k], atol=5e-2, rtol=0, err_msg=f"{k} after {FSTEPS} steps"
+            )
