@@ -101,14 +101,14 @@ class TileBatchLoader:
                 "pad_last requires drop_last=False (a dropped trailing batch "
                 "leaves nothing to wrap-pad)"
             )
-        if pad_last and jax.process_count() > 1:
-            # The Dice sample mask assumes the wrap-pad sits at the *global*
-            # batch tail; multi-host assembly puts each host's pad at its
-            # local segment tail instead, so the mask would hit real samples.
-            raise NotImplementedError(
-                "pad_last is single-host only (finetune, like the reference's "
-                "rank-0 validation); use drop_last under multi-host"
-            )
+        # Multi-host pad_last: every process wrap-pads its own trailing
+        # batch (all processes have equal per-process file counts after
+        # _shard_files' world-size padding, so the same pad count), and the
+        # pads sit at each host's SEGMENT tail in the assembled global
+        # batch, not the global tail. Consumers must therefore use
+        # last_batch_valid_mask() — assembled through the same placement
+        # path as the data, so mask rows align with data rows by
+        # construction — rather than an arange()<n global-suffix mask.
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.sharding = sharding
@@ -201,6 +201,36 @@ class TileBatchLoader:
             n = (n + (-n) % P) // P
         rem = n % self.batch_size
         return rem if (rem and not self.drop_last) else self.batch_size
+
+    def last_batch_valid_mask(self):
+        """Device-resident (global_batch,) bool mask marking the REAL
+        samples of an epoch's final batch — False on the wrap-padded
+        suffix of each process's segment (requires ``pad_last``).
+
+        Single-host this equals ``arange(batch_size) < last_batch_valid()``.
+        Multi-host, every process's pad sits at its own segment's tail
+        inside the assembled global batch, so a global-suffix mask would
+        hit real samples; this mask is assembled through the exact same
+        placement path as the batches (:meth:`_place`, i.e.
+        ``make_array_from_process_local_data`` under a sharding), so mask
+        rows align with data rows by construction regardless of the mesh's
+        device order. Pass it as the train step's ``valid`` argument
+        (``train/finetune.py`` Dice ``sample_mask``, pattern-agnostic)."""
+        if not self.pad_last:
+            raise ValueError(
+                "last_batch_valid_mask requires pad_last (without it the "
+                "trailing batch is genuinely short — no mask needed)"
+            )
+        local = np.arange(self.batch_size) < self.last_batch_valid()
+        return self._place(local)
+
+    def valid_mask(self, batch_index: int):
+        """Placed (global_batch,) bool mask for epoch batch ``batch_index``:
+        all-True except on the final batch, where the per-segment wrap-pads
+        are False (see :meth:`last_batch_valid_mask`)."""
+        if batch_index == len(self) - 1:
+            return self.last_batch_valid_mask()
+        return self._place(np.ones(self.batch_size, bool))
 
     def _place(self, item):
         """Host batch -> device arrays under the configured sharding."""

@@ -266,7 +266,14 @@ def finetune_train_step(
     tp, fp, fn, tn = get_stats(
         pred - 1, batch["target_mask"] - 1, num_classes=num_fg, ignore_index=-1
     )
-    return new_state, {"loss": loss, "tp": tp, "fp": fp, "fn": fn, "tn": tn}
+    metrics = {"loss": loss, "tp": tp, "fp": fp, "fn": fn, "tn": tn}
+    if batch.get("valid") is not None:
+        # Echo the sample-validity mask so hosts can filter the per-sample
+        # stat rows without assuming where the pads sit (multi-host
+        # assembly puts each process's wrap-pad at its own segment tail,
+        # not the global tail — see data/loader.last_batch_valid_mask).
+        metrics["valid"] = batch["valid"]
+    return new_state, metrics
 
 
 def make_jitted_finetune_step(config: FinetuneConfig, mesh=None, donate: bool = True):
@@ -303,8 +310,9 @@ def make_jitted_fused_finetune_step(config: FinetuneConfig, aug_cfg, mesh=None, 
         """``valid``: (B,) bool — False marks wrap-padded samples in the
         trailing partial batch; they are excluded from the Dice loss exactly
         (drop_last=False parity, reference ``ssl_finetune.py:276``). Their
-        metric rows come back unmasked — callers slice them off (padding is
-        always a suffix). Padded slots hold wrapped *real* images, so BN
+        metric rows come back unmasked, with the mask echoed as
+        ``metrics["valid"]`` — callers filter rows by it (the pad is a
+        per-process-segment suffix, a global suffix only single-host). Padded slots hold wrapped *real* images, so BN
         batch statistics stay in-distribution (documented minor deviation:
         that one step's BN stats are computed over a resampled batch).
         Under accum_steps > 1 the Dice loss is averaged per microbatch

@@ -57,3 +57,10 @@ def make_global_batch() -> dict:
         "rev1": np.argsort(perm1, axis=1).astype(np.int32),
         "rev2": np.argsort(perm2, axis=1).astype(np.int32),
     }
+
+
+def make_seg_valid_mask():
+    """Global (B,) sample mask with a pad at each process SEGMENT's tail
+    (B=4 over 2 processes: [real, pad | real, pad]) — the multi-host
+    pad_last pattern, deliberately NOT a global suffix."""
+    return np.array([True, False, True, False])

@@ -248,6 +248,37 @@ class TestLoader:
             np.asarray(batches[2][2:]), np.asarray(batches[0][:2])
         )
 
+    def test_pad_last_valid_masks(self, prepared):
+        """valid_mask(i): all-True except the final batch, whose mask marks
+        exactly the real prefix (single-host: pad == global suffix). The
+        multi-host per-segment alignment is covered live in
+        test_multihost.py."""
+        out, df, _ = prepared
+        files = df["filename_img"].tolist()[:10]
+        loader = L.TileBatchLoader(
+            out, files, batch_size=4, seed=0, drop_last=False, pad_last=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loader.valid_mask(0)), [True] * 4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loader.valid_mask(len(loader) - 1)),
+            [True, True, False, False],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loader.last_batch_valid_mask()),
+            [True, True, False, False],
+        )
+
+    def test_valid_mask_requires_pad_last(self, prepared):
+        out, df, _ = prepared
+        loader = L.TileBatchLoader(
+            out, df["filename_img"].tolist()[:10], batch_size=4, seed=0,
+            drop_last=False,
+        )
+        with pytest.raises(ValueError, match="pad_last"):
+            loader.last_batch_valid_mask()
+
     def test_pad_last_tiny_dataset_wraps_repeatedly(self, prepared):
         out, df, _ = prepared
         files = df["filename_img"].tolist()[:3]

@@ -121,6 +121,52 @@ WORKER = textwrap.dedent(
             for l in jax.tree.leaves(seg_new.params))
     )
     print(f"SEG{proc_id}:{seg_loss:.8f}:{seg_pnorm:.6f}", flush=True)
+
+    # --- pad_last + per-segment valid mask ACROSS the processes ----------
+    # 10 items, per-process batch 2: each process shards 5 files -> 2 full
+    # batches + a trailing 1-real+1-wrap-pad batch. In the assembled global
+    # batch the pads sit at each process SEGMENT's tail (not the global
+    # tail) — last_batch_valid_mask() must align with the data rows.
+    loader2 = TileBatchLoader(
+        "<mem>", list(range(10)), batch_size=2,
+        load_fn=lambda i: np.full((2, 2, 3), i, np.uint8),
+        shuffle=False, seed=0, drop_last=False, pad_last=True,
+        sharding=batch_sharding(mesh),
+    )
+    assert len(loader2) == 3, len(loader2)
+    batches2 = list(loader2.epoch(0))
+    assert len(batches2) == 3
+    assert batches2[-1].shape[0] == 4  # static global shape incl. pads
+    vmask = loader2.last_batch_valid_mask()
+    lb = batches2[-1]
+    assert lb.addressable_shards[0].device == vmask.addressable_shards[0].device
+    dshard = np.asarray(lb.addressable_shards[0].data)[:, 0, 0, 0]
+    mshard = np.asarray(vmask.addressable_shards[0].data)
+    print(f"PAD{proc_id}:{dshard.tolist()}:{mshard.astype(int).tolist()}", flush=True)
+
+    # --- finetune step under the NON-SUFFIX per-segment mask -------------
+    # valid = [1,0,1,0]: each segment's tail row is a pad. Loss/update must
+    # equal a single-process run of the identical batch+mask (the
+    # multi-host drop_last=False path at any --frac).
+    from multihost_common import make_seg_valid_mask
+
+    gvalid = make_seg_valid_mask()
+    seg_batch_v = dict(seg_batch)
+    seg_batch_v["valid"] = jax.make_array_from_process_local_data(data, half(gvalid))
+    seg_state2 = FT.create_finetune_state(jax.random.key(0), seg_config,
+                                          local_batch=2)
+    seg_state2 = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)),
+        seg_state2,
+    )
+    segv_new, segv_metrics = seg_step(seg_state2, seg_batch_v)
+    segv_loss = float(segv_metrics["loss"])
+    segv_pnorm = float(
+        sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+            for l in jax.tree.leaves(segv_new.params))
+    )
+    vsum = int(np.asarray(segv_metrics["valid"].addressable_shards[0].data).sum())
+    print(f"SEGV{proc_id}:{segv_loss:.8f}:{segv_pnorm:.6f}:{vsum}", flush=True)
     """
 )
 
@@ -219,7 +265,7 @@ def test_two_process_distributed(tmp_path):
     segs = {}
     for out in outs:
         for line in out.splitlines():
-            if line.startswith("SEG"):
+            if line.startswith("SEG") and not line.startswith("SEGV"):
                 pid = int(line[3])
                 segs[pid] = [float(x) for x in line[5:].split(":")]
     assert set(segs) == {0, 1}, f"missing SEG lines:\n{outs}"
@@ -240,3 +286,49 @@ def test_two_process_distributed(tmp_path):
         got_loss, got_pnorm = segs[pid]
         np.testing.assert_allclose(got_loss, seg_loss, rtol=0, atol=1e-5)
         np.testing.assert_allclose(got_pnorm, seg_pnorm, rtol=1e-6)
+
+    # pad_last across processes: each process's shard of the last batch is
+    # [real, wrap-pad] and the mask marks exactly the real row. With
+    # shuffle=False the shards are [0,2,4,6,8] / [1,3,5,7,9], so the real
+    # trailing values are 8 and 9 and the wrap pads are 0 and 1.
+    pads = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("PAD"):
+                pid = int(line[3])
+                data_s, mask_s = line[5:].split(":")
+                pads[pid] = (eval(data_s), eval(mask_s))
+    assert set(pads) == {0, 1}, f"missing PAD lines:\n{outs}"
+    assert pads[0] == ([8, 0], [1, 0]), pads[0]
+    assert pads[1] == ([9, 1], [1, 0]), pads[1]
+
+    # Non-suffix valid mask: the 2-process masked step equals the identical
+    # single-process step (same batch, same [1,0,1,0] mask) — multi-host
+    # drop_last=False parity without the global-tail-pad assumption.
+    segvs = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("SEGV"):
+                pid = int(line[4])
+                segvs[pid] = line[6:].split(":")
+    assert set(segvs) == {0, 1}, f"missing SEGV lines:\n{outs}"
+    from multihost_common import make_seg_valid_mask
+
+    gvalid = make_seg_valid_mask()
+    seg_batch_v = dict(make_seg_global_batch())
+    seg_batch_v["valid"] = gvalid
+    seg_state2 = FT.create_finetune_state(jax.random.key(0), seg_config, local_batch=2)
+    segv_new, segv_metrics = seg_step(seg_state2, seg_batch_v)
+    segv_loss = float(segv_metrics["loss"])
+    segv_pnorm = float(
+        sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+            for l in jax.tree.leaves(segv_new.params))
+    )
+    # The mask excludes real data rows here, so it must CHANGE the loss.
+    assert abs(segv_loss - seg_loss) > 1e-6
+    for pid in (0, 1):
+        got_loss, got_pnorm, got_vsum = segvs[pid]
+        np.testing.assert_allclose(float(got_loss), segv_loss, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(float(got_pnorm), segv_pnorm, rtol=1e-6)
+        assert int(got_vsum) == 2  # replicated metrics: 2 real rows globally
+

@@ -307,20 +307,18 @@ def main_worker(args):
             # a genuinely short trailing batch (drop_last=False parity), so
             # rows in one drain window can have different (batch, classes)
             # shapes (crashed live on the r50 convergence run, round 4).
-            packed = jnp.concatenate(
-                [
-                    jnp.concatenate(
-                        [
-                            m["loss"].reshape(1).astype(jnp.float32),
-                            m["tp"].ravel().astype(jnp.float32),
-                            m["fp"].ravel().astype(jnp.float32),
-                            m["fn"].ravel().astype(jnp.float32),
-                            m["tn"].ravel().astype(jnp.float32),
-                        ]
-                    )
-                    for m, _ in pending
-                ]
-            )
+            def flat(m):
+                parts = [m["loss"].reshape(1).astype(jnp.float32)]
+                if "valid" in m:
+                    # Echoed sample mask: which global rows are real. Under
+                    # multi-host the wrap-pad sits at each process segment's
+                    # tail, not the global tail — filter rows by the mask
+                    # instead of slicing a suffix.
+                    parts.append(m["valid"].ravel().astype(jnp.float32))
+                parts += [m[k].ravel().astype(jnp.float32) for k in ("tp", "fp", "fn", "tn")]
+                return jnp.concatenate(parts)
+
+            packed = jnp.concatenate([flat(m) for m, _ in pending])
             arr = np.asarray(packed)  # one device->host round trip
             # Per-(sample,class) counts are bounded by the pixels of one
             # view; float32 carries integers exactly below 2^24, so the
@@ -331,15 +329,24 @@ def main_worker(args):
             off = 0
             for m, n_valid in pending:
                 BC = m["tp"].shape  # (batch, classes) of THIS step
-                n = 1 + 4 * BC[0] * BC[1]
+                nb = BC[0] if "valid" in m else 0
+                n = 1 + nb + 4 * BC[0] * BC[1]
                 row = arr[off : off + n]
                 off += n
-                losses.update(float(row[0]), n_valid)
-                stats = row[1:].reshape(4, *BC).astype(np.int64)
-                tps.append(stats[0][:n_valid])
-                fps.append(stats[1][:n_valid])
-                fns.append(stats[2][:n_valid])
-                tns.append(stats[3][:n_valid])
+                stats = row[1 + nb :].reshape(4, *BC).astype(np.int64)
+                if nb:
+                    sel = row[1 : 1 + nb] > 0.5
+                    losses.update(float(row[0]), int(sel.sum()))
+                    tps.append(stats[0][sel])
+                    fps.append(stats[1][sel])
+                    fns.append(stats[2][sel])
+                    tns.append(stats[3][sel])
+                else:
+                    losses.update(float(row[0]), n_valid)
+                    tps.append(stats[0][:n_valid])
+                    fps.append(stats[1][:n_valid])
+                    fns.append(stats[2][:n_valid])
+                    tns.append(stats[3][:n_valid])
             pending.clear()
 
         end = time.time()
@@ -350,9 +357,12 @@ def main_worker(args):
                 loader.last_batch_valid() if it == steps_total - 1 else args.batch_size
             )
             if multi:
-                # Wrap-padded trailing batch: mask the padded suffix out of
-                # the Dice loss (drop_last=False parity under sharding).
-                valid = jnp.arange(args.batch_size) < n_valid
+                # Wrap-padded trailing batch: mask the pads out of the Dice
+                # loss (drop_last=False parity under sharding). The mask
+                # comes from the loader, placed through the same path as
+                # the batch, so its rows align with the data rows even
+                # under multi-host assembly (per-segment pad suffixes).
+                valid = loader.valid_mask(it)
                 state, metrics = step_fn(state, bimgs, bmasks, key, valid)
             else:
                 state, metrics = step_fn(state, bimgs, bmasks, key)
