@@ -270,6 +270,71 @@ class TestToolSmoke:
         assert "loaded pretrained weights" in out
         assert "MICRO F1" in out
 
+    def test_reference_recipe_label_efficiency_sweep_verbatim(self, tmp_path):
+        """The reference's bcss.sh SECOND finetune block — the label-
+        efficiency sweep (scripts/bcss.sh:46-65) — runs with its flag set
+        unchanged: ``--frac`` over the recipe's FRAC values and ``--weights``
+        pointing at the recipe's literal ``checkpoint_0249.pth.tar`` glob
+        name (resolving to our Orbax dir of that stem), logging scores per
+        frac to the recipe's ``frac_${frac}/fold_${fold}`` layout. Sizes are
+        scaled down via extra (non-reference) flags only; frac 0.1 of this
+        tiny corpus leaves a single tile, exercising the wrap-padded
+        sub-batch path inside the sweep."""
+        import numpy as np
+        from PIL import Image
+
+        raw = tmp_path / "raw"
+        os.makedirs(raw / "images")
+        os.makedirs(raw / "masks")
+        rng = np.random.default_rng(3)
+        for name in ("TCGA-XX-1", "TCGA-OL-1"):
+            img = rng.integers(0, 255, (300, 300, 3), dtype=np.uint8)
+            mask = (rng.integers(0, 22, (300, 300))).astype(np.uint8)
+            Image.fromarray(img).save(raw / "images" / f"{name}.png")
+            Image.fromarray(mask).save(raw / "masks" / f"{name}.png")
+        run_tool(
+            "bcss_prepare.py",
+            "-p", str(raw), "-o", str(tmp_path / "prep"), "-s", "128",
+        )
+        pre = tmp_path / "bs32_lr1e-3"
+        run_tool(
+            "ssl_train.py",
+            "--data-name", "bcss", "--data", str(tmp_path / "prep"),
+            "--scale", "2", "--img-sz", "32", "--tile-px", "64",
+            "-b", "8", "--epochs", "1", "--save-freq", "1", "--seed", "0",
+            "--fold", "0", "--imagenet-weights", "none",
+            "--log-dir", str(pre),
+        )
+        # The recipe globs epoch 250's checkpoint (it pretrain 250 epochs);
+        # give our 1-epoch checkpoint the recipe's name — what's under test
+        # is the verbatim --weights path resolution + sweep flags, not 250
+        # epochs of training.
+        os.rename(pre / "checkpoint_0000", pre / "checkpoint_0249")
+
+        log_path = tmp_path / "logs" / "best" / "bcss"
+        for frac in ("1.0", "0.5", "0.1"):
+            fold = "0"
+            out = run_tool(
+                "ssl_finetune.py",
+                # ---- the recipe's sweep flags, verbatim (bcss.sh:53-63) ----
+                "-j", "4", "-b", "64", "--epochs", "50", "--lr", "1e-3",
+                "--multiprocessing-distributed", "--world-size", "1", "--rank", "0",
+                "--data-name", "bcss",
+                "--train-data", str(tmp_path / "prep"),
+                "--mean", "0.6998", "0.4785", "0.6609",
+                "--std", "0.2203", "0.2407", "0.1983",
+                "--frac", frac, "--fold", fold,
+                "--log-dir", str(log_path / f"frac_{frac}" / f"fold_{fold}"),
+                "--weights", str(pre / "checkpoint_0249.pth.tar"),
+                "--amp", "--dist-url", "tcp://127.0.0.1:50003",
+                # ---- size scale-down (extra flags only, not in the recipe) ----
+                "-b", "4", "--epochs", "1", "--steps-per-epoch", "2",
+                "--val-chunk", "4", "--seg-size", "64",
+            )
+            assert "loaded pretrained weights" in out
+            assert "MICRO F1" in out
+            assert (log_path / f"frac_{frac}" / f"fold_{fold}" / "log.txt").exists()
+
     def test_reference_recipe_c16_pretrain_verbatim(self, tmp_path):
         """The reference's scripts/c16.sh pretrain stage runs with its flag
         line unchanged (/root/reference/scripts/c16.sh:5-13) on a synthetic
