@@ -195,6 +195,19 @@ def _score(X, y, params, num_classes, pred=None):
     }
 
 
+def _bootstrap_ci(pred, y, n_boot: int = 10000, seed: int = 0):
+    """Nonparametric 95% CI of accuracy over tiles (resample tiles with
+    replacement) — at 36-tile val columns the point estimate alone
+    overstates the precision; the interval is the honest report."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    N = len(y)
+    idx = rng.integers(0, N, size=(n_boot, N))
+    accs = (pred[idx] == y[idx]).mean(axis=1)
+    return [float(np.percentile(accs, 2.5)), float(np.percentile(accs, 97.5))]
+
+
 def main_worker(args):
     import numpy as np
 
@@ -236,13 +249,25 @@ def main_worker(args):
         )
         logger.info(f"=> fitted {args.epochs} epochs, final loss {final_loss:.4f}")
 
+        W, b = params
+        pred_tr = np.argmax(X_tr @ W + b, axis=1).astype(np.int32)
+        pred_va = np.argmax(X_va @ W + b, axis=1).astype(np.int32)
         results = {
-            "train": _score(X_tr, y_tr, params, num_classes),
-            "val": _score(X_va, y_va, params, num_classes),
+            "train": _score(X_tr, y_tr, params, num_classes, pred=pred_tr),
+            "val": _score(X_va, y_va, params, num_classes, pred=pred_va),
         }
+    results["val"]["acc_ci95"] = _bootstrap_ci(pred_va, y_va)
+    results["val"]["pred"] = [int(v) for v in pred_va]
+    results["val"]["labels"] = [int(v) for v in y_va]
     for split, r in results.items():
         logger.info(
-            f"=> {split}: acc {r['acc']:.4f}  micro-F1 {r['micro_f1']:.4f}  "
+            f"=> {split}: acc {r['acc']:.4f}"
+            + (
+                "  ci95 [%.3f, %.3f]" % tuple(r["acc_ci95"])
+                if "acc_ci95" in r
+                else ""
+            )
+            + f"  micro-F1 {r['micro_f1']:.4f}  "
             f"per-class F1 {['%.3f' % v for v in r['f1_per_class']]}"
         )
 
