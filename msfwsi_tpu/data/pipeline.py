@@ -170,20 +170,29 @@ def make_seg_train_views(key, imgs_u8, masks, cfg: AugConfig = AugConfig()):
         full-res source (sampled vs exact mean, ≤~1e-3 difference).
 
     Flip commutes exactly with the centered crop and the half-pixel
-    bilinear resize. The context image and mask fold the flip into their
-    resample grids (zero-cost — no reversal pass at all; bit-identical by
-    mirror symmetry, and ColorJitter is per-pixel so it commutes with the
-    permutation). The target pair is a pure crop (no resample to fold
-    into), so its flip runs on the 256px outputs — a 16x smaller
-    reversal than flipping the 1024px sources. Nearest-neighbor rounding
-    does NOT commute at tie coordinates, so the mask fold uses exact
-    ``nearest(flip(x))`` index semantics."""
+    bilinear resize, so NO standalone reversal pass remains anywhere in
+    this pipeline: the context image/mask fold the flip into their resample
+    grids, the target image folds it into an identity-scale MXU crop matrix
+    (the interpolation rows are exact one-hots at integer coordinates, so
+    the "resample" IS the crop bit-exactly, and the mirrored column matrix
+    is the flip), and the target mask uses a one-pass conditional-mirror
+    column gather (int path — exact permutation). ColorJitter is per-pixel
+    and commutes with the permutation. Nearest-neighbor rounding does NOT
+    commute at tie coordinates, so the context-mask fold uses exact
+    ``nearest(flip(x))`` index semantics. (All three target-flip
+    formulations measured within noise at b32 on the v5e — 838.5
+    where+reverse / 836.1 gather / 840.0 MXU fold pairs/s; the folded form
+    is kept for uniformity, closing the round-4 flip residual.)"""
     x = _to_float(imgs_u8, cfg.dtype)
     k_cj, k_flip = jax.random.split(key)
     B = x.shape[0]
     flip = jax.random.uniform(k_flip, (B, 1, 1, 1)) < 0.5
 
-    tgt = A.center_crop(x, cfg.seg_size)
+    S0 = cfg.seg_size
+    H0 = x.shape[1]
+    c0 = jnp.full((x.shape[0],), (H0 - S0) // 2)
+    sz = jnp.full((x.shape[0],), S0)
+    tgt = A.crop_and_resize_mxu(x, (c0, c0, sz, sz), S0, flip=flip[:, 0, 0, 0])
     tgt_mask = A.center_crop(masks[..., None], cfg.seg_size)[..., 0]
 
     # Context flip folds into the bilinear resize's column matrix — bit-
@@ -197,8 +206,12 @@ def make_seg_train_views(key, imgs_u8, masks, cfg: AugConfig = AugConfig()):
     ctx, means = A.apply_color_jitter(ctx, *jit_params, return_means=True)
     tgt = A.apply_color_jitter(tgt, *jit_params, means=means)
 
-    tgt = jnp.where(flip, tgt[:, :, ::-1, :], tgt)
-    tgt_mask = jnp.where(flip[:, :, :, 0], tgt_mask[:, :, ::-1], tgt_mask)
+    # Target-mask flip: one-pass conditional-mirror column gather (exact
+    # permutation; the int mask has no resample matrix to fold into).
+    S = tgt.shape[1]
+    ar = jnp.arange(S)
+    cols = jnp.where(flip[:, 0, 0], S - 1 - ar, ar)  # (B, S)
+    tgt_mask = jnp.take_along_axis(tgt_mask, cols[:, None, :], axis=2)
 
     ctx = A.normalize(ctx, cfg.mean, cfg.std)
     tgt = A.normalize(tgt, cfg.mean, cfg.std)
