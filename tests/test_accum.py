@@ -98,6 +98,8 @@ class TestSSLAccum:
         assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
         assert_trees_close(s2.params, s1.params)
 
+    @pytest.mark.slow  # independent oracle for the same semantics the
+    # quick-tier duplicated-halves test pins; full-suite only (latency)
     def test_matches_mean_gradient_oracle(self):
         """accum=2 on a heterogeneous batch == one tx.update on the mean of
         the two microbatch gradients (computed independently here), with BN
@@ -144,6 +146,8 @@ class TestSSLAccum:
         assert_trees_close(s2.params, oracle_params, rtol=1e-4, atol=5e-6)
         assert_trees_close(s2.batch_stats, oracle_stats, rtol=1e-4, atol=5e-6)
 
+    @pytest.mark.slow  # factored-path variant of the quick-tier accum
+    # test; its optimizer math is pinned by test_factored — full-suite only
     def test_fused_adafactor_accum_duplicated_halves(self):
         """The fused outer-product path under accumulation: the (X, dY)
         factor sides are concatenated across microbatches with dY scaled by
@@ -162,6 +166,8 @@ class TestSSLAccum:
         assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-6)
         assert_trees_close(s2.params, s1.params, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow  # fused-view accumulation plumbing (exact-arithmetic
+    # stub builder); distinct contract but ~2 min of compile — full suite
     def test_fused_step_builds_views_per_microbatch(self, monkeypatch):
         """The fused aug+step path under accumulation slices the raw uint8
         tiles and builds each microbatch's views inside the loop (the

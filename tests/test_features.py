@@ -25,7 +25,7 @@ IMG = 32
 
 @pytest.fixture(scope="module")
 def model_vars():
-    model = MSFWSI(arch="resnet18", scale=SCALE, dtype=jnp.float32)
+    model = MSFWSI(arch="resnet10", scale=SCALE, dtype=jnp.float32)
     k1, k2 = jax.random.split(jax.random.key(0))
     x = jnp.zeros((1, IMG, IMG, 3), jnp.float32)
     # Init only the two encoders (what a pruned checkpoint supplies).
@@ -219,11 +219,11 @@ def test_random_weights_equal_epoch0_training_state():
     from msfwsi_tpu.train import ssl as S
 
     seed, img = 11, IMG
-    model = MSFWSI(arch="resnet18", scale=SCALE, dtype=jnp.float32)
+    model = MSFWSI(arch="resnet10", scale=SCALE, dtype=jnp.float32)
     got = X._random_init_variables(
         model, ("context", "target"), seed, img, logging.getLogger("test")
     )
-    cfg = S.SSLConfig(arch="resnet18", scale=SCALE, img_size=img, seed=seed,
+    cfg = S.SSLConfig(arch="resnet10", scale=SCALE, img_size=img, seed=seed,
                       shuffle_views=model.views_shuffled)
     state = S.create_ssl_state(jax.random.key(seed), cfg)
     want_p = {k: v for k, v in state.params.items() if k.endswith("_encoder")}

@@ -90,6 +90,9 @@ class TestTrainStep:
         assert delta("inter_") == 0.0
 
 
+@pytest.mark.slow  # the same both-contract equivalence is additionally
+# pinned against the LITERAL reference model in test_reference_parity
+# (slow tier); ~90 s of whole-model compile — full suite only
 class TestShuffleViewsEquivalence:
     def test_fast_path_equals_reference_path(self):
         """shuffle_views=False (spatial views + feature-level jigsaw) must

@@ -13,13 +13,19 @@ KEYS="context_s1 context_s2 context_s3 context_s4 target_s1 target_s2 target_s3 
 for LEG in "$@"; do
   W=${LEG%%=*}; CKPT=${LEG#*=}
   for SPLIT in train val; do
+    # Resumable: extraction is the expensive TPU stage — skip if present.
+    [ -d $OUT/feats_${W}_${SPLIT} ] && continue
     python tools/extract_features.py -a $ARCH --weights $CKPT $DATA \
         --split $SPLIT --branch both --scales 1,2,3,4 --amp $STATS \
         --log-dir $OUT/fx_${W}_${SPLIT} --out $OUT/feats_${W}_${SPLIT} || exit 1
   done
   for KEY in $KEYS; do
     for PROBE in linear knn; do
-      python tools/linear_probe.py --features $OUT/feats_${W}_train \
+      [ -f $OUT/probe_${W}_${KEY}_${PROBE}_out.json ] && continue
+      # Probes are tiny (<=678x512 features): local XLA:CPU compiles in
+      # seconds, vs ~10 min per (probe, dim) shape through the tunneled
+      # remote TPU compiler. Force CPU (tools/_common honors the env).
+      JAX_PLATFORMS=cpu python tools/linear_probe.py --features $OUT/feats_${W}_train \
           --features-val $OUT/feats_${W}_val --data-name bcss \
           --train-data $PREP --key $KEY \
           --probe $PROBE --log-dir $OUT/probe_${W}_${KEY}_${PROBE} \
